@@ -1,0 +1,83 @@
+"""Headline benchmark — prints ONE JSON line.
+
+Protocol mirrors the reference's runtimes.sh best case (mode 8: tiled +
+fully parallel): cube.obj (386 Gaussians), 256x256, tiles=16, orbiting
+camera, per-frame re-tiling included in frame time (runtimes.sh:19-35,
+main.cpp:257-335). Baseline: 1.24 s/frame (Clang, 7950X @3 GHz, 32 threads)
+= 52.9K rays/s — thesis tab:perf_dense_cube_avx512 (BASELINE.md).
+
+    {"metric": "rays_per_s_cube_mode8", "value": ..., "unit": "rays/s",
+     "vs_baseline": ...}
+"""
+
+import json
+import os
+import sys
+import time
+
+BASELINE_RAYS_PER_S = 256 * 256 / 1.24  # reference mode-8 mt best (Clang)
+CUBE_OBJ = "/root/reference/test-objects/cube.obj"
+
+
+def load_scene():
+    import numpy as np
+
+    from sgrt_tpu.models.gaussians import scene_from_obj, scene_from_vertices
+
+    if os.path.exists(CUBE_OBJ):
+        return scene_from_obj(CUBE_OBJ)
+    # Standalone fallback: procedural cube-surface point cloud at the same
+    # scale (386 vertices -> sigma heuristic 0.15 band like cube.obj).
+    rng = np.random.default_rng(0)
+    n = 386
+    pts = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    pts /= np.maximum(np.abs(pts).max(axis=1, keepdims=True), 1e-6)
+    return scene_from_vertices(pts)
+
+
+def main():
+    from sgrt_tpu.ops.frame import probe_capacity, render_orbit_frame
+
+    scene = load_scene()
+    frames = int(os.environ.get("BENCH_FRAMES", "100"))
+    tiles = 16
+
+    capacity = int(
+        probe_capacity(scene, [0.0, 30.0, 45.0, 60.0, 90.0], -4.0, 1.0, tiles)
+    )
+    capacity = max(64, int(capacity * 1.3))
+
+    def frame(angle):
+        img, _ = render_orbit_frame(
+            scene, angle, -4.0, 1.0,
+            width=256, height=256, tiles=tiles, capacity=capacity,
+        )
+        return img
+
+    # Warmup / compile.
+    frame(0.0).block_until_ready()
+
+    angle_change = 360.0 / frames
+    total = 0.0
+    for i in range(frames):
+        t0 = time.perf_counter()
+        img = frame(i * angle_change)
+        img.block_until_ready()
+        total += time.perf_counter() - t0
+
+    avg = total / frames
+    rays_per_s = 256 * 256 / avg
+    print(
+        json.dumps(
+            {
+                "metric": "rays_per_s_cube_mode8",
+                "value": round(rays_per_s, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,133 @@
+"""Command-line renderer — flag-compatible with the reference binary.
+
+Mirrors `volumetric-ray-tracer` (src/volumetric-ray-tracer/main.cpp:28-184):
+same flags (including `-h` meaning *height*, so help is `--help` only), same
+default scene (4x4 grid), same orbit loop, same TIME/AVG. TIME output format
+(main.cpp:310-316). The 8-mode matrix collapses on TPU: modes 1-4 → untiled
+fused renderer, modes 5-8 → tiled (SIMD/thread variants are artifacts of
+explicit CPU vectorization; XLA always vectorizes). `-t/--with-threads` is
+accepted and ignored for compatibility.
+
+Usage:  python -m sgrt_tpu [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m sgrt_tpu",
+        description="TPU-native volumetric Gaussian ray tracer",
+        add_help=False,
+    )
+    p.add_argument("--help", action="help", help="Show this help message.")
+    p.add_argument("--file", "-f", default=None, help="Load gaussians as vertices from <file> (.obj).")
+    p.add_argument("--output", "-o", default=None, help="Write image to <file> in PNG format.")
+    p.add_argument("--grid", "-g", nargs="?", const=4, type=int, default=None,
+                   help="Render a grid of <dim>x<dim> gaussians (default 4). Overridden by --file.")
+    p.add_argument("--width", "-w", type=int, default=None, help="Image width.")
+    p.add_argument("--height", "-h", type=int, default=None, help="Image height.")
+    p.add_argument("--with-threads", "-t", type=int, default=1,
+                   help="Accepted for compatibility; XLA schedules on TPU.")
+    p.add_argument("--quiet", "-q", action="store_true",
+                   help="Render without displaying (prints TIME/AVG. TIME).")
+    p.add_argument("--frames", type=int, default=1, help="Render <count> frames.")
+    p.add_argument("--tiles", type=int, default=16,
+                   help="Split the image into <count> tiles per axis.")
+    p.add_argument("--rotation", "-r", type=float, default=360.0,
+                   help="Total viewing-angle change distributed over --frames.")
+    p.add_argument("--initial-rotation", "-i", type=float, default=0.0,
+                   help="Initial rotation in degrees.")
+    p.add_argument("--camera-offset", "-c", type=float, default=-4.0,
+                   help="Camera position along the Z axis.")
+    p.add_argument("--focal-length", type=float, default=1.0, help="Camera focal length.")
+    p.add_argument("--mode", "-m", type=int, default=8, choices=range(1, 9),
+                   help="1-4: untiled; 5-8: tiled (SIMD variants collapse on TPU).")
+    p.add_argument("--capacity", type=int, default=None,
+                   help="Static per-tile Gaussian capacity (default: auto per scene).")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import numpy as np
+
+    from sgrt_tpu.models.gaussians import grid_scene, scene_from_obj
+    from sgrt_tpu.ops.frame import probe_capacity, render_orbit_frame
+    from sgrt_tpu.utils.image import write_png
+
+    width = args.width or args.height or 256
+    height = args.height or args.width or 256
+
+    if args.file is not None:
+        scene = scene_from_obj(args.file)
+    else:
+        scene = grid_scene(args.grid if args.grid is not None else 4)
+
+    use_tiling = args.mode >= 5
+    if use_tiling and (width % args.tiles or height % args.tiles):
+        print(f"error: {width}x{height} not divisible into {args.tiles} tiles", file=sys.stderr)
+        return 1
+
+    capacity = args.capacity
+    if use_tiling and capacity is None:
+        # Fixed capacity across the whole orbit (one device call) so every
+        # frame reuses one compiled executable.
+        probe = int(
+            probe_capacity(
+                scene,
+                [args.initial_rotation + d for d in (0.0, 30.0, 45.0, 60.0, 90.0)],
+                args.camera_offset,
+                args.focal_length,
+                args.tiles,
+            )
+        )
+        capacity = max(32, int(probe * 1.25))
+
+    angle_change = args.rotation / args.frames
+    total_time = 0.0
+    for frame in range(1, args.frames + 1):
+        angle = args.initial_rotation + (frame - 1) * angle_change
+        t0 = time.perf_counter()
+        img, max_count = render_orbit_frame(
+            scene,
+            angle,
+            args.camera_offset,
+            args.focal_length,
+            width=width,
+            height=height,
+            tiles=args.tiles,
+            capacity=capacity or 1,
+            use_tiling=use_tiling,
+        )
+        img.block_until_ready()
+        dt = (time.perf_counter() - t0) * 1000.0
+
+        if use_tiling and int(max_count) > capacity:
+            print(
+                f"warning: tile capacity {capacity} overflowed ({int(max_count)}); "
+                "pass --capacity",
+                file=sys.stderr,
+            )
+
+        if args.output:
+            stem, _, ext = args.output.rpartition(".")
+            name = f"{stem}_{frame}.{ext}" if args.frames > 1 else args.output
+            write_png(name, np.asarray(img))
+
+        if args.frames == 1:
+            print(f"TIME: {dt} ms")
+        total_time += dt
+
+    if args.frames > 1:
+        print(f"AVG. TIME: {total_time / args.frames} ms ({args.frames} frames)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

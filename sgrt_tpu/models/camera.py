@@ -52,6 +52,20 @@ def translate(m: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     return _mm(m, t)
 
 
+def inverse_rigid(m: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of a rigid transform [[R, t], [0, 1]] = [[R^T, -R^T t], [0, 1]].
+
+    The view matrix is always rigid (lookAt + translation), and the analytic
+    inverse avoids the generic LU path (whose TPU compile is pathologically
+    slow inside jit)."""
+    r = m[:3, :3]
+    t = m[:3, 3]
+    inv = jnp.eye(4, dtype=m.dtype)
+    inv = inv.at[:3, :3].set(r.T)
+    inv = inv.at[:3, 3].set(-_mm(r.T, t))
+    return inv
+
+
 def rotate_y(angle_deg: jnp.ndarray) -> jnp.ndarray:
     """Rotation about the +Y axis (glm::rotate(mat4(1), radians(a), (0,1,0))), (4,4)."""
     a = jnp.deg2rad(angle_deg)
@@ -157,7 +171,7 @@ class Camera:
         xx = jnp.broadcast_to(x[None, :], (h, w))
         yy = jnp.broadcast_to(y[:, None], (h, w))
         ndc = jnp.stack([xx, yy, jnp.zeros_like(xx), jnp.ones_like(xx)], axis=-1)
-        inv = jnp.linalg.inv(self.view_matrix)
+        inv = inverse_rigid(self.view_matrix)
         pts = _mm(ndc.reshape(-1, 4), inv.T)
         return pts[:, :3]
 

@@ -1,0 +1,112 @@
+"""Whole-frame jitted pipeline: orbit camera → rays → tile/cull → render.
+
+On a tunneled TPU every eager op is a host↔device round trip, so the frame
+loop must be ONE compiled call. This module fuses the reference's per-frame
+sequence (main.cpp:257-335: orbit camera, re-tile, render) into a single jit
+whose only dynamic input is the scene + orbit angle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from sgrt_tpu.models.camera import Camera, orbit_position
+from sgrt_tpu.models.gaussians import GaussianScene
+from sgrt_tpu.ops.render import (
+    _radiance_block,
+    _tile_rays,
+    _untile_image,
+    render_rays_impl,
+)
+from sgrt_tpu.ops.tiling import gather_tiles, tile_indices, tile_membership
+
+
+def orbit_camera(angle_deg, offset, focal_length, width: int, height: int) -> Camera:
+    """Camera on the reference's orbit (main.cpp:248-255, 330-334): start at
+    (0, 0, offset) yaw=-90, rotated `angle_deg` about world Y. Traceable."""
+    base = jnp.array([0.0, 0.0, 1.0], jnp.float32) * offset
+    pos = orbit_position(base, angle_deg)
+    cam = Camera(
+        position=pos,
+        front=jnp.array([0.0, 0.0, 1.0], jnp.float32),
+        up=jnp.array([0.0, 1.0, 0.0], jnp.float32),
+        right=jnp.zeros(3, jnp.float32),
+        world_up=jnp.array([0.0, 1.0, 0.0], jnp.float32),
+        view_matrix=jnp.eye(4, dtype=jnp.float32),
+        focal_length=jnp.asarray(focal_length, jnp.float32),
+        width=width,
+        height=height,
+    )
+    return cam.turn(-90.0 - angle_deg, 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "tiles", "capacity", "q_block",
+                     "ray_block", "tile_batch", "use_tiling"),
+)
+def render_orbit_frame(
+    scene: GaussianScene,
+    angle_deg,
+    offset=-4.0,
+    focal_length=1.0,
+    *,
+    width: int = 256,
+    height: int = 256,
+    tiles: int = 16,
+    capacity: int = 128,
+    q_block: int = 128,
+    ray_block: int = 2048,
+    tile_batch: int = 16,
+    use_tiling: bool = True,
+):
+    """One full frame → (image (H,W,3), max_tile_count (scalar)).
+
+    max_tile_count lets callers detect capacity overflow without a second
+    pass; it is 0 for the untiled path.
+    """
+    cam = orbit_camera(angle_deg, offset, focal_length, width, height)
+    o, dirs = cam.rays()
+    if not use_tiling:
+        colors = render_rays_impl(o, dirs, scene, q_block, ray_block)
+        return colors.reshape(height, width, 3), jnp.zeros((), jnp.int32)
+
+    # Static normalization: capacity must divide evenly into q-blocks.
+    qb = min(q_block, capacity)
+    capacity = -(-capacity // qb) * qb
+    idx, counts = tile_indices(scene, cam.view_matrix, tiles, capacity)
+    tiled = gather_tiles(scene, idx)
+    d = _tile_rays(dirs, height, width, tiles)
+
+    t2 = tiles * tiles
+    tb = min(tile_batch, t2)
+
+    def one_tile(args):
+        tile_scene, tile_dirs = args
+        return _radiance_block(o, tile_dirs, tile_scene, qb)
+
+    chunked = jax.tree_util.tree_map(
+        lambda a: a.reshape(t2 // tb, tb, *a.shape[1:]), (tiled, d)
+    )
+    colors = jax.lax.map(jax.vmap(one_tile), chunked).reshape(t2, -1, 3)
+    return _untile_image(colors, height, width, tiles), jnp.max(counts)
+
+
+@functools.partial(jax.jit, static_argnames=("tiles",))
+def _probe_one(scene: GaussianScene, angle, offset, focal_length, tiles: int):
+    cam = orbit_camera(angle, offset, focal_length, 8, 8)
+    member = tile_membership(scene, cam.view_matrix, tiles)
+    return jnp.max(jnp.sum(member, axis=-1))
+
+
+def probe_capacity(scene: GaussianScene, angles, offset, focal_length, tiles: int):
+    """Max per-tile Gaussian count over sample orbit angles, to size
+    `capacity` for a whole orbit. One compile, len(angles) tiny device calls
+    (vmapping the camera chain triggers a pathological TPU compile)."""
+    return max(
+        int(_probe_one(scene, float(a), offset, focal_length, tiles))
+        for a in angles
+    )

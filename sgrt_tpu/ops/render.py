@@ -94,10 +94,9 @@ def _radiance_block(o, dirs, scene: GaussianScene, q_block: int) -> jnp.ndarray:
     return jnp.matmul(weights, scene.albedo, precision=jax.lax.Precision.HIGHEST)
 
 
-@functools.partial(jax.jit, static_argnames=("q_block", "ray_block"))
-def render_rays(o, dirs, scene: GaussianScene, q_block: int = 128, ray_block: int = 2048):
-    """Render a batch of rays → colors (R,3). Scene must be padded already
-    if N % q_block != 0 (pad_scene handles it)."""
+def render_rays_impl(o, dirs, scene: GaussianScene, q_block: int = 128, ray_block: int = 2048):
+    """Unjitted render of a batch of rays → colors (R,3). Differentiable;
+    compose with jit/shard_map/grad as needed."""
     scene = pad_scene(scene, q_block)
     r = dirs.shape[0]
     pad = (-r) % ray_block
@@ -108,9 +107,86 @@ def render_rays(o, dirs, scene: GaussianScene, q_block: int = 128, ray_block: in
     return colors[:r]
 
 
+render_rays = jax.jit(render_rays_impl, static_argnames=("q_block", "ray_block"))
+
+
 def render(scene: GaussianScene, camera: Camera, origin=None,
            q_block: int = 128, ray_block: int = 2048) -> jnp.ndarray:
     """Full-frame fused render → float32 (H, W, 3), unclamped."""
     o, dirs = camera.rays(origin)
     colors = render_rays(o, dirs, scene, q_block=q_block, ray_block=ray_block)
     return colors.reshape(camera.height, camera.width, 3)
+
+
+def _tile_rays(dirs: jnp.ndarray, h: int, w: int, tiles: int) -> jnp.ndarray:
+    """(H*W, 3) row-major rays → (T^2, P, 3) grouped by image tile, tile
+    order row-major (ty, tx) to match ops.tiling."""
+    th, tw = h // tiles, w // tiles
+    d = dirs.reshape(tiles, th, tiles, tw, 3)
+    return d.transpose(0, 2, 1, 3, 4).reshape(tiles * tiles, th * tw, 3)
+
+
+def _untile_image(colors: jnp.ndarray, h: int, w: int, tiles: int) -> jnp.ndarray:
+    """(T^2, P, 3) per-tile colors → (H, W, 3). Analog of the reference's
+    tile-buffer scatter-back (rt.h:388-399)."""
+    th, tw = h // tiles, w // tiles
+    c = colors.reshape(tiles, tiles, th, tw, 3)
+    return c.transpose(0, 2, 1, 3, 4).reshape(h, w, 3)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "tiles", "capacity", "q_block", "tile_batch")
+)
+def _render_tiled_jit(scene, view, o, dirs, h, w, tiles, capacity, q_block, tile_batch):
+    from sgrt_tpu.ops.tiling import gather_tiles, tile_indices
+
+    idx, counts = tile_indices(scene, view, tiles, capacity)
+    tiled = gather_tiles(scene, idx)                       # (T2, K, ...)
+    d = _tile_rays(dirs, h, w, tiles)                      # (T2, P, 3)
+
+    qb = min(q_block, capacity)
+
+    def one_tile(args):
+        tile_scene, tile_dirs = args
+        return _radiance_block(o, tile_dirs, tile_scene, qb)
+
+    # Chunked map over tiles: vmap within a chunk (parallel lanes), lax.map
+    # across chunks (bounds the pairwise intermediate).
+    t2 = tiles * tiles
+    tb = min(tile_batch, t2)
+    chunked = jax.tree_util.tree_map(lambda a: a.reshape(t2 // tb, tb, *a.shape[1:]), (tiled, d))
+    colors = jax.lax.map(jax.vmap(one_tile), chunked)
+    colors = colors.reshape(t2, -1, 3)
+    return _untile_image(colors, h, w, tiles), counts
+
+
+def render_tiled(scene: GaussianScene, camera: Camera, origin=None, tiles: int = 16,
+                 capacity: int | None = None, q_block: int = 128, tile_batch: int = 16,
+                 check_overflow: bool = True) -> jnp.ndarray:
+    """Tiled + culled full-frame render (modes 5-8 analog) → (H, W, 3).
+
+    Per-frame tile assignment runs on-device (the reference re-tiles on host
+    every frame, main.cpp:263). `capacity` is the static per-tile Gaussian
+    budget; None picks it from this frame's true max count (host sync).
+    """
+    h, w = camera.height, camera.width
+    if h % tiles or w % tiles:
+        raise ValueError(f"image {w}x{h} not divisible into {tiles}x{tiles} tiles")
+    o, dirs = camera.rays(origin)
+    if capacity is None:
+        from sgrt_tpu.ops.tiling import max_tile_count
+
+        capacity = max_tile_count(scene, camera.view_matrix, tiles)
+    # Round up so the q-block scan divides evenly (dummies are inert).
+    q_block = min(q_block, max(capacity, 1))
+    capacity = max(q_block, -(-capacity // q_block) * q_block)
+    img, counts = _render_tiled_jit(
+        scene, camera.view_matrix, o, dirs,
+        h=h, w=w, tiles=tiles, capacity=capacity, q_block=q_block, tile_batch=tile_batch,
+    )
+    if check_overflow and int(jnp.max(counts)) > capacity:
+        raise ValueError(
+            f"tile capacity {capacity} overflowed (max count {int(jnp.max(counts))}); "
+            "raise `capacity`"
+        )
+    return img

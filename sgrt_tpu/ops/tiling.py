@@ -1,0 +1,113 @@
+"""Tile-based Gaussian culling as a fixed-capacity gather-compaction.
+
+TPU-native re-design of the reference's `tile_gaussians` (src/vrt/rt.cpp:29-69).
+The reference builds per-tile std::vectors of copied Gaussians (duplicating
+border Gaussians); under XLA's static shapes this becomes:
+
+  1. project:    mu' = (view @ mu).xy / z,  sigma' = sigma / z,
+                 cull z < 1 and sigma' < 1e-5          (rt.cpp:35-45)
+  2. membership: Gaussian q belongs to tile with center c iff
+                 |c - mu'| <= |c| + tile_half + 3.3 sigma'   (rt.cpp:57-59)
+                 (the |c| term is the reference's quirk — it only widens the
+                 test, so we replicate it for behavioral parity; the 3.3 sigma
+                 bound is derived in the thesis from 8-bit color visibility)
+  3. compact:    per tile, the first K member indices (padded with a dummy
+                 index that maps to an inert sigma=1/magnitude=0 Gaussian —
+                 the same padding contract as the reference SoA,
+                 types.cpp:53-63)
+
+All three steps are jnp and run on-device per frame (the reference re-tiles
+every frame on the host, main.cpp:263).
+
+Tiles are indexed row-major (ty, tx) over NDC [-1,1]^2 matching the
+reference's y-outer/x-inner tile loop (rt.cpp:47-49).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from sgrt_tpu.models.gaussians import GaussianScene
+
+
+def project_gaussians(scene: GaussianScene, view: jnp.ndarray):
+    """Project Gaussian centers through the view matrix.
+
+    Returns (mu2 (N,2) NDC centers, sigma_p (N,) projected stddevs,
+    valid (N,) bool). Invalid entries get mu2=+inf so they never pass the
+    membership box test.
+    """
+    p = scene.mu @ view[:3, :3].T + view[:3, 3][None, :]   # (N,3)
+    z = p[:, 2]
+    valid = z >= 1.0
+    zs = jnp.where(valid, z, 1.0)
+    mu2 = p[:, :2] / zs[:, None]
+    sigma_p = scene.sigma / zs
+    valid = valid & (sigma_p >= 1e-5)
+    mu2 = jnp.where(valid[:, None], mu2, jnp.inf)
+    return mu2, sigma_p, valid
+
+
+def tile_centers(tiles: int):
+    """NDC centers of a tiles x tiles grid over [-1,1]^2, row-major (ty,tx).
+    Returns (T^2, 2)."""
+    half = 1.0 / tiles
+    c = -1.0 + half + 2.0 * half * jnp.arange(tiles, dtype=jnp.float32)
+    cy, cx = jnp.meshgrid(c, c, indexing="ij")
+    return jnp.stack([cx.ravel(), cy.ravel()], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("tiles",))
+def tile_membership(scene: GaussianScene, view: jnp.ndarray, tiles: int) -> jnp.ndarray:
+    """(T^2, N) bool membership matrix (reference box test, rt.cpp:57-59)."""
+    mu2, sigma_p, valid = project_gaussians(scene, view)
+    centers = tile_centers(tiles)                          # (T2,2)
+    half = 1.0 / tiles
+    d = jnp.abs(centers[:, None, :] - mu2[None, :, :])     # (T2,N,2)
+    bound = jnp.abs(centers)[:, None, :] + half + 3.3 * sigma_p[None, :, None]
+    return jnp.all(d <= bound, axis=-1) & valid[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("tiles", "capacity"))
+def tile_indices(scene: GaussianScene, view: jnp.ndarray, tiles: int, capacity: int):
+    """Per-tile compacted Gaussian indices.
+
+    Returns (idx (T^2, K) int32 — first K member indices, padded with N
+    (the dummy slot); counts (T^2,) — true member counts, so callers can
+    detect capacity overflow).
+    """
+    member = tile_membership(scene, view, tiles)           # (T2,N)
+    counts = jnp.sum(member, axis=-1).astype(jnp.int32)
+    n = scene.n
+
+    def compact(row):
+        (idx,) = jnp.nonzero(row, size=capacity, fill_value=n)
+        return idx.astype(jnp.int32)
+
+    idx = jax.vmap(compact)(member)
+    return idx, counts
+
+
+def gather_tiles(scene: GaussianScene, idx: jnp.ndarray) -> GaussianScene:
+    """Gather per-tile Gaussian blocks: idx (T^2, K) → scene pytree with
+    leading (T^2, K) axes. Index N selects the inert dummy row."""
+    dummy = GaussianScene(
+        mu=jnp.zeros((1, 3), jnp.float32),
+        sigma=jnp.ones((1,), jnp.float32),
+        magnitude=jnp.zeros((1,), jnp.float32),
+        albedo=jnp.zeros((1, 3), jnp.float32),
+    )
+    ext = jax.tree_util.tree_map(
+        lambda a, d: jnp.concatenate([a, d], axis=0), scene, dummy
+    )
+    return jax.tree_util.tree_map(lambda a: a[idx], ext)
+
+
+def max_tile_count(scene: GaussianScene, view: jnp.ndarray, tiles: int) -> int:
+    """Host helper: the max per-tile Gaussian count for this frame (use to
+    pick `capacity` without silent truncation)."""
+    member = tile_membership(scene, view, tiles)
+    return int(jnp.max(jnp.sum(member, axis=-1)))

@@ -1,0 +1,119 @@
+"""Tiling/culling gather-compaction vs a literal numpy transcription of the
+reference's tile_gaussians (src/vrt/rt.cpp:29-69), plus end-to-end tiled
+render parity."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgrt_tpu.models.camera import Camera
+from sgrt_tpu.models.gaussians import grid_scene, make_scene
+from sgrt_tpu.ops.render import render, render_tiled
+from sgrt_tpu.ops.tiling import (
+    gather_tiles,
+    max_tile_count,
+    tile_centers,
+    tile_indices,
+    tile_membership,
+)
+
+
+def _reference_membership(scene, view, tiles):
+    """Direct numpy transcription of rt.cpp:29-69 semantics."""
+    mu = np.asarray(scene.mu)
+    sigma = np.asarray(scene.sigma)
+    v = np.asarray(view)
+    n = mu.shape[0]
+    t2 = tiles * tiles
+    member = np.zeros((t2, n), bool)
+    tw = 2.0 / tiles
+    proj = (v[:3, :3] @ mu.T).T + v[:3, 3]
+    ty_centers = -1.0 + tw / 2 + tw * np.arange(tiles)
+    for a, y in enumerate(ty_centers):
+        for b, x in enumerate(ty_centers):
+            t = a * tiles + b
+            for i in range(n):
+                if proj[i, 2] < 1.0:
+                    continue
+                m2 = proj[i, :2] / proj[i, 2]
+                sp = sigma[i] / proj[i, 2]
+                if sp < 1e-5:
+                    continue
+                p = np.abs(np.array([x, y]) - m2)
+                if p[0] <= abs(x) + tw / 2 + 3.3 * sp and p[1] <= abs(y) + tw / 2 + 3.3 * sp:
+                    member[t, i] = True
+    return member
+
+
+@pytest.fixture
+def random_scene():
+    rng = np.random.default_rng(7)
+    n = 40
+    return make_scene(
+        mu=rng.uniform(-2, 2, (n, 3)) + np.array([0, 0, 2.5]),
+        sigma=rng.uniform(0.05, 0.4, n),
+        magnitude=rng.uniform(0.2, 2.0, n),
+        albedo=rng.uniform(0, 1, (n, 3)),
+    )
+
+
+def test_membership_matches_reference_rule(random_scene):
+    cam = Camera.create(position=(0.0, 0.0, -4.0), width=32, height=32)
+    for tiles in (2, 4):
+        ours = np.asarray(tile_membership(random_scene, cam.view_matrix, tiles))
+        ref = _reference_membership(random_scene, cam.view_matrix, tiles)
+        np.testing.assert_array_equal(ours, ref)
+
+
+def test_behind_camera_culled():
+    scene = make_scene(
+        mu=[[0.0, 0.0, 1.5], [0.0, 0.0, -10.0]],
+        sigma=[0.3, 0.3],
+        magnitude=[1.0, 1.0],
+        albedo=[[1, 0, 0], [0, 1, 0]],
+    )
+    cam = Camera.create(position=(0.0, 0.0, -4.0), width=16, height=16)
+    m = np.asarray(tile_membership(scene, cam.view_matrix, 2))
+    assert m[:, 0].any()
+    assert not m[:, 1].any()
+
+
+def test_tile_indices_and_gather(random_scene):
+    cam = Camera.create(position=(0.0, 0.0, -4.0), width=32, height=32)
+    idx, counts = tile_indices(random_scene, cam.view_matrix, 4, capacity=48)
+    member = np.asarray(tile_membership(random_scene, cam.view_matrix, 4))
+    np.testing.assert_array_equal(np.asarray(counts), member.sum(-1))
+    tiled = gather_tiles(random_scene, idx)
+    assert tiled.mu.shape == (16, 48, 3)
+    i = np.asarray(idx)
+    pad = i == random_scene.n
+    np.testing.assert_allclose(np.asarray(tiled.magnitude)[pad], 0.0)
+    np.testing.assert_allclose(np.asarray(tiled.sigma)[pad], 1.0)
+    # non-pad entries gather the right rows
+    t, k = np.nonzero(~pad)
+    np.testing.assert_allclose(
+        np.asarray(tiled.mu)[t, k], np.asarray(random_scene.mu)[i[t, k]]
+    )
+
+
+def test_tiled_render_matches_untiled():
+    scene = grid_scene(4)
+    cam = Camera.create(position=(0.0, 0.0, -4.0), width=32, height=32)
+    full = np.asarray(render(scene, cam, q_block=16, ray_block=256))
+    tiled = np.asarray(render_tiled(scene, cam, tiles=4, q_block=16, tile_batch=4))
+    # Culling may drop <1/255-visible contributions (by design, 3.3 sigma
+    # bound); everything else must match.
+    assert np.abs(full - tiled).max() < 2.0 / 255.0
+
+
+def test_tile_centers_layout():
+    c = np.asarray(tile_centers(2))
+    np.testing.assert_allclose(c, [[-0.5, -0.5], [0.5, -0.5], [-0.5, 0.5], [0.5, 0.5]])
+
+
+def test_capacity_overflow_raises(random_scene):
+    cam = Camera.create(position=(0.0, 0.0, -4.0), width=32, height=32)
+    m = max_tile_count(random_scene, cam.view_matrix, 2)
+    assert m > 2
+    with pytest.raises(ValueError, match="overflow"):
+        render_tiled(random_scene, cam, tiles=2, capacity=2, q_block=2, tile_batch=4)
