@@ -8,6 +8,10 @@ main.cpp:257-335). Baseline: 1.24 s/frame (Clang, 7950X @3 GHz, 32 threads)
 
     {"metric": "rays_per_s_cube_mode8", "value": ..., "unit": "rays/s",
      "vs_baseline": ...}
+
+Timing note: a device round-trip (scalar fetch) bounds every timed span —
+on a tunneled TPU, block_until_ready() can return before execution
+finishes, so only data fetches are trustworthy sync points.
 """
 
 import json
@@ -36,11 +40,17 @@ def load_scene():
 
 
 def main():
+    import jax.numpy as jnp
+
     from sgrt_tpu.ops.frame import probe_capacity, render_orbit_frame
 
     scene = load_scene()
     frames = int(os.environ.get("BENCH_FRAMES", "100"))
     tiles = 16
+    backend = os.environ.get("BENCH_BACKEND", "pallas")
+    # A&S erf is the reference's production mode-8 choice (thesis
+    # main.tex:1587-1626); "as5" gives the f32-exact variant.
+    erf_name = os.environ.get("BENCH_ERF", "as3")
 
     capacity = int(
         probe_capacity(scene, [0.0, 30.0, 45.0, 60.0, 90.0], -4.0, 1.0, tiles)
@@ -51,19 +61,23 @@ def main():
         img, _ = render_orbit_frame(
             scene, angle, -4.0, 1.0,
             width=256, height=256, tiles=tiles, capacity=capacity,
+            backend=backend, erf_name=erf_name,
         )
         return img
 
-    # Warmup / compile.
-    frame(0.0).block_until_ready()
+    # Warmup / compile; the float() fetch is the only reliable sync point.
+    checksum = float(jnp.sum(frame(0.0)))
 
     angle_change = 360.0 / frames
-    total = 0.0
+    # Timed run: dispatch all frames, sync once at the end via a data fetch.
+    # (Matches the reference protocol: avg frame time over an orbit,
+    # main.cpp:310-316. Per-frame host syncs would measure tunnel latency.)
+    t0 = time.perf_counter()
+    img = None
     for i in range(frames):
-        t0 = time.perf_counter()
         img = frame(i * angle_change)
-        img.block_until_ready()
-        total += time.perf_counter() - t0
+    float(jnp.sum(img))
+    total = time.perf_counter() - t0
 
     avg = total / frames
     rays_per_s = 256 * 256 / avg

@@ -46,7 +46,8 @@ def orbit_camera(angle_deg, offset, focal_length, width: int, height: int) -> Ca
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tiles", "capacity", "q_block",
-                     "ray_block", "tile_batch", "use_tiling"),
+                     "ray_block", "tile_batch", "use_tiling", "backend",
+                     "erf_name"),
 )
 def render_orbit_frame(
     scene: GaussianScene,
@@ -62,16 +63,25 @@ def render_orbit_frame(
     ray_block: int = 2048,
     tile_batch: int = 16,
     use_tiling: bool = True,
+    backend: str = "xla",
+    erf_name: str = "as5",
 ):
     """One full frame → (image (H,W,3), max_tile_count (scalar)).
 
     max_tile_count lets callers detect capacity overflow without a second
-    pass; it is 0 for the untiled path.
+    pass; it is 0 for the untiled path. backend="pallas" routes the hot
+    erf reduction through the fused Pallas kernel (ops.pallas_kernel);
+    "xla" uses the pure-jnp formulation (ops.render).
     """
     cam = orbit_camera(angle_deg, offset, focal_length, width, height)
     o, dirs = cam.rays()
     if not use_tiling:
-        colors = render_rays_impl(o, dirs, scene, q_block, ray_block)
+        if backend == "pallas":
+            from sgrt_tpu.ops.pallas_kernel import render_rays_pallas_impl
+
+            colors = render_rays_pallas_impl(o, dirs, scene, erf_name=erf_name)
+        else:
+            colors = render_rays_impl(o, dirs, scene, q_block, ray_block)
         return colors.reshape(height, width, 3), jnp.zeros((), jnp.int32)
 
     # Static normalization: capacity must divide evenly into q-blocks.
@@ -80,8 +90,14 @@ def render_orbit_frame(
     idx, counts = tile_indices(scene, cam.view_matrix, tiles, capacity)
     tiled = gather_tiles(scene, idx)
     d = _tile_rays(dirs, height, width, tiles)
-
     t2 = tiles * tiles
+
+    if backend == "pallas":
+        from sgrt_tpu.ops.pallas_kernel import render_tiles_pallas
+
+        colors = render_tiles_pallas(tiled, o, d, counts, qb=qb, erf_name=erf_name)
+        return _untile_image(colors, height, width, tiles), jnp.max(counts)
+
     tb = min(tile_batch, t2)
 
     def one_tile(args):

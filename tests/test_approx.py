@@ -1,0 +1,85 @@
+"""Approximation accuracy contracts — the analog of the reference's
+accuracy-test (src/volumetric-ray-tracer/tests/accuracy.cpp:9-58), which
+sweeps erf approximations on [-6,6] and exp approximations on [-16,0]
+against libm. Bounds follow the published characteristics:
+A&S 7.1.26 <= 1.5e-7 (+f32 rounding), A&S 7.1.25 <= 2.5e-5 (the reference's
+production erf), Schraudolph fast_exp ~3% relative (approx.cpp:112-138).
+"""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgrt_tpu.ops import approx
+
+ERF_X = np.linspace(-6.0, 6.0, 4001).astype(np.float32)
+ERF_REF = np.vectorize(math.erf)(ERF_X.astype(np.float64))
+EXP_X = np.linspace(-16.0, 0.0, 4001).astype(np.float32)
+EXP_REF = np.exp(EXP_X.astype(np.float64))
+
+
+@pytest.mark.parametrize(
+    "name,bound",
+    [
+        ("exact", 1e-6),
+        ("as5", 5e-6),
+        ("as3", 3e-5),
+        ("spline", 5e-4),
+        ("spline_mirror", 5e-4),
+    ],
+)
+def test_erf_accuracy(name, bound):
+    y = np.asarray(approx.ERF_IMPLS[name](jnp.asarray(ERF_X)), np.float64)
+    assert np.abs(y - ERF_REF).max() <= bound
+
+
+def test_erf_taylor_accuracy():
+    # accurate near 0; clamped at |x|=2 like the reference (approx.cpp:71-88)
+    x = np.linspace(-1.5, 1.5, 1001).astype(np.float32)
+    ref = np.vectorize(math.erf)(x.astype(np.float64))
+    y = np.asarray(approx.erf_taylor(jnp.asarray(x)), np.float64)
+    assert np.abs(y - ref).max() <= 1e-4
+
+
+@pytest.mark.parametrize(
+    "name,rel_bound",
+    [("exact", 1e-5), ("fast", 0.05), ("spline", 5e-3)],
+)
+def test_exp_accuracy(name, rel_bound):
+    y = np.asarray(approx.EXP_IMPLS[name](jnp.asarray(EXP_X)), np.float64)
+    rel = np.abs(y - EXP_REF) / np.maximum(EXP_REF, 1e-30)
+    assert rel.max() <= rel_bound
+
+
+def test_erf_odd_symmetry():
+    for name, fn in approx.ERF_IMPLS.items():
+        y_pos = np.asarray(fn(jnp.asarray(ERF_X)))
+        y_neg = np.asarray(fn(jnp.asarray(-ERF_X)))
+        np.testing.assert_allclose(y_pos, -y_neg, atol=1e-6, err_msg=name)
+
+
+def test_erf_and_gauss_consistency():
+    for name, fn in approx.ERF_AND_GAUSS_IMPLS.items():
+        e, g = fn(jnp.asarray(ERF_X))
+        np.testing.assert_allclose(
+            np.asarray(g), np.exp(-ERF_X.astype(np.float64) ** 2),
+            atol=1e-6, err_msg=name,
+        )
+        np.testing.assert_allclose(
+            np.asarray(e),
+            np.asarray(approx.ERF_IMPLS[name](jnp.asarray(ERF_X))),
+            atol=1e-7,
+        )
+
+
+def test_erf_saturation():
+    """All erf impls must saturate to ±1 beyond |x|=4 (the kernel relies on
+    dummy-Gaussian contributions cancelling exactly)."""
+    x = jnp.asarray([4.5, 10.0, 100.0], jnp.float32)
+    for name, fn in approx.ERF_IMPLS.items():
+        if name == "taylor":  # clamps at ±2 by design (approx.cpp:71-88)
+            continue
+        np.testing.assert_allclose(np.asarray(fn(x)), 1.0, atol=2e-5,
+                                   err_msg=name)
