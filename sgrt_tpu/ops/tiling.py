@@ -60,14 +60,28 @@ def tile_centers(tiles: int):
     return jnp.stack([cx.ravel(), cy.ravel()], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("tiles",))
-def tile_membership(scene: GaussianScene, view: jnp.ndarray, tiles: int) -> jnp.ndarray:
-    """(T^2, N) bool membership matrix (reference box test, rt.cpp:57-59)."""
+@functools.partial(jax.jit, static_argnames=("tiles", "mode"))
+def tile_membership(scene: GaussianScene, view: jnp.ndarray, tiles: int,
+                    mode: str = "tight") -> jnp.ndarray:
+    """(T^2, N) bool membership matrix.
+
+    mode="tight": |c - mu'| <= tile_half + 3.3 sigma' on both axes — the
+    minimal superset of visibly-contributing Gaussians (3.3 sigma is the
+    8-bit visibility bound, thesis main.tex:520-541).
+
+    mode="reference": adds the reference's extra |tile_center| slack
+    (rt.cpp:57-59) — a quirk that makes edge tiles accept Gaussians across
+    the whole NDC range (it only *widens* the test, so images are identical;
+    on the teapot it inflates the mean per-tile count ~5x, which is pure
+    wasted work on any backend). Kept for behavioral-parity testing.
+    """
     mu2, sigma_p, valid = project_gaussians(scene, view)
     centers = tile_centers(tiles)                          # (T2,2)
     half = 1.0 / tiles
     d = jnp.abs(centers[:, None, :] - mu2[None, :, :])     # (T2,N,2)
-    bound = jnp.abs(centers)[:, None, :] + half + 3.3 * sigma_p[None, :, None]
+    bound = half + 3.3 * sigma_p[None, :, None]
+    if mode == "reference":
+        bound = bound + jnp.abs(centers)[:, None, :]
     return jnp.all(d <= bound, axis=-1) & valid[None, :]
 
 

@@ -57,10 +57,21 @@ def random_scene():
     )
 
 
+def test_tight_membership_is_subset_of_reference(random_scene):
+    cam = Camera.create(position=(0.0, 0.0, -4.0), width=32, height=32)
+    tight = np.asarray(tile_membership(random_scene, cam.view_matrix, 4))
+    ref = np.asarray(
+        tile_membership(random_scene, cam.view_matrix, 4, mode="reference")
+    )
+    assert np.all(ref | ~tight), "tight membership must be a subset"
+
+
 def test_membership_matches_reference_rule(random_scene):
     cam = Camera.create(position=(0.0, 0.0, -4.0), width=32, height=32)
     for tiles in (2, 4):
-        ours = np.asarray(tile_membership(random_scene, cam.view_matrix, tiles))
+        ours = np.asarray(
+            tile_membership(random_scene, cam.view_matrix, tiles, mode="reference")
+        )
         ref = _reference_membership(random_scene, cam.view_matrix, tiles)
         np.testing.assert_array_equal(ours, ref)
 
