@@ -170,7 +170,7 @@ def _bwd_kernel(counts_ref, mu_ref, co_ref, sig_ref, inv_ref, g_ref,
 
             dco_blk = jnp.zeros((rb, qb), jnp.float32)
             dmuq_blk = jnp.zeros((rb, qb), jnp.float32)
-            dinv_blk = jnp.zeros((1, qb), jnp.float32)
+            dinv_blk = jnp.zeros((rb, qb), jnp.float32)
             for k, Gk in zip(K_TAPS, G):
                 off = d + k * sig_p3                              # = arg / inv_q
                 e, gau = erf_and_gauss(off * inv_q)
@@ -181,8 +181,8 @@ def _bwd_kernel(counts_ref, mu_ref, co_ref, sig_ref, inv_ref, g_ref,
                 di_q = jnp.sum(di, axis=2)                        # (RB,PB)
                 dmu_p += di_q
                 dmuq_blk -= jnp.sum(di, axis=1)
-                dsig_p += k * jnp.sum(di_q, axis=0, keepdims=True)
-                dinv_blk += jnp.sum(jnp.sum(dargk * off, axis=1), axis=0, keepdims=True)
+                dsig_p += k * di_q
+                dinv_blk += jnp.sum(dargk * off, axis=1)
 
             dco_s[:, pl.ds(q0, qb)] += dco_blk
             dmu_s[:, pl.ds(q0, qb)] += dmuq_blk
@@ -190,7 +190,7 @@ def _bwd_kernel(counts_ref, mu_ref, co_ref, sig_ref, inv_ref, g_ref,
             return dmu_p, dsig_p
 
         dmu_p0 = jnp.zeros((rb, pb), jnp.float32)
-        dsig_p0 = jnp.zeros((1, pb), jnp.float32)
+        dsig_p0 = jnp.zeros((rb, pb), jnp.float32)
         dmu_p, dsig_p = jax.lax.fori_loop(0, nq_dyn, qb_body, (dmu_p0, dsig_p0))
         dmu_s[:, pl.ds(p0, pb)] += dmu_p
         dsig_s[:, pl.ds(p0, pb)] += dsig_p
@@ -203,10 +203,17 @@ def _bwd_kernel(counts_ref, mu_ref, co_ref, sig_ref, inv_ref, g_ref,
     dco_s[:] += db * e1
     derf1 = _DERF * db * co * g1                                  # d/d(arg1)
     dmu_s[:] += derf1 * (-inv)
-    dinv_s[:] += jnp.sum(derf1 * (-mu), axis=0, keepdims=True)
+    dinv_s[:] += derf1 * (-mu)
 
     dmu_ref[0] = dmu_s[:]
     dco_ref[0] = dco_s[:]
+
+    # Reduce dsig/dinv over the ray axis with an MXU matvec (a (1,RB)@(RB,N)
+    # dot); a plain axis-0 jnp.sum to a (1,N) row trips a Mosaic relayout
+    # bug (replicated-sublane destination).
+    ones_row = jnp.ones((1, rb), jnp.float32)
+    dsig_row = jnp.dot(ones_row, dsig_s[:], preferred_element_type=jnp.float32)
+    dinv_row = jnp.dot(ones_row, dinv_s[:], preferred_element_type=jnp.float32)
 
     # dsig/dinv: revisit-accumulated over the ray-block grid dimension.
     i = pl.program_id(1)
@@ -216,8 +223,8 @@ def _bwd_kernel(counts_ref, mu_ref, co_ref, sig_ref, inv_ref, g_ref,
         dsig_ref[0] = jnp.zeros((1, n), jnp.float32)
         dinv_ref[0] = jnp.zeros((1, n), jnp.float32)
 
-    dsig_ref[0] += dsig_s[:]
-    dinv_ref[0] += dinv_s[:]
+    dsig_ref[0] += dsig_row
+    dinv_ref[0] += dinv_row
 
 
 # ---------------------------------------------------------------------------
@@ -280,8 +287,8 @@ def _bwd_call(mu_bar, coeff, sigma, inv, counts, g, *, rb, pb, qb, erf_name,
         scratch_shapes=[
             pltpu.VMEM((rb, n), jnp.float32),
             pltpu.VMEM((rb, n), jnp.float32),
-            pltpu.VMEM((1, n), jnp.float32),
-            pltpu.VMEM((1, n), jnp.float32),
+            pltpu.VMEM((rb, n), jnp.float32),
+            pltpu.VMEM((rb, n), jnp.float32),
             pltpu.VMEM((rb, 1), jnp.float32),
         ],
     )

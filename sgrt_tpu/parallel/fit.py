@@ -45,16 +45,23 @@ def make_train_step(
     q_block: int = 128,
     ray_block: int = 2048,
     trainable: tuple[str, ...] = ("mu", "sigma", "magnitude", "albedo"),
+    backend: str = "xla",
 ):
     """Build a jitted train step: (state, o, dirs, target) → (state, loss).
 
     mesh=None → single-device step. With a mesh, dirs/target must be sharded
     on the rays axis (parallel.mesh.shard_rays) and their length divisible by
-    the mesh size.
+    the mesh size. backend="pallas" routes the forward+backward through the
+    fused kernel's custom VJP (ops.pallas_kernel).
     """
 
     def local_loss(scene, o, dirs, target):
-        colors = render_rays_impl(o, dirs, scene, q_block, ray_block)
+        if backend == "pallas":
+            from sgrt_tpu.ops.pallas_kernel import render_rays_pallas_impl
+
+            colors = render_rays_pallas_impl(o, dirs, scene)
+        else:
+            colors = render_rays_impl(o, dirs, scene, q_block, ray_block)
         return loss_fn(colors, target)
 
     def value_and_grad(scene, o, dirs, target):
@@ -99,6 +106,96 @@ def make_train_step(
 
 def init_state(scene: GaussianScene, optimizer: optax.GradientTransformation) -> FitState:
     return FitState(scene, optimizer.init(scene), jnp.zeros((), jnp.int32))
+
+
+def make_frame_train_step(
+    optimizer: optax.GradientTransformation,
+    *,
+    width: int = 256,
+    height: int = 256,
+    tiles: int = 16,
+    capacity: int = 128,
+    mesh: Mesh | None = None,
+    backend: str = "pallas",
+    erf_name: str = "as5",
+    trainable: tuple[str, ...] = ("mu", "sigma", "magnitude", "albedo"),
+):
+    """Tiled whole-frame train step — the north-star fwd+bwd configuration
+    (BASELINE.json: teapot fwd+bwd with tile culling).
+
+    Returns step(state, view, o, dirs, target_image) → (state, loss):
+    per-frame re-tiling (non-differentiable index computation), gather,
+    fused-kernel forward + custom-VJP backward, scatter-add of tile
+    gradients back to the scene (the gather transpose), psum over the mesh.
+
+    With a mesh, tiles are the sharded axis (each device renders T²/D
+    tiles — the multi-chip analog of the reference's thread-per-tile pool,
+    rt.h:344-404); the scene is replicated and gradients are pmean'd over
+    ICI, overlapped with the backward pass by XLA.
+    """
+    from sgrt_tpu.ops.render import _tile_rays, _untile_image
+    from sgrt_tpu.ops.tiling import gather_tiles, tile_indices
+
+    qb = min(128, capacity)
+    capacity = -(-capacity // qb) * qb
+    t2 = tiles * tiles
+
+    def tile_render(scene, idx, counts, o, d):
+        tiled = gather_tiles(scene, idx)
+        if backend == "pallas":
+            from sgrt_tpu.ops.pallas_kernel import render_tiles_pallas
+
+            return render_tiles_pallas(tiled, o, d, counts, qb=qb,
+                                       erf_name=erf_name)
+        from sgrt_tpu.ops.render import _radiance_block
+
+        return jax.vmap(lambda ts, td: _radiance_block(o, td, ts, qb))(tiled, d)
+
+    def masked_scene(scene):
+        fields = {
+            f: (getattr(scene, f) if f in trainable
+                else jax.lax.stop_gradient(getattr(scene, f)))
+            for f in ("mu", "sigma", "magnitude", "albedo")
+        }
+        return GaussianScene(**fields)
+
+    def local_vg(scene, idx, counts, o, d, target_t):
+        def f(s):
+            colors = tile_render(masked_scene(s), idx, counts, o, d)
+            return jnp.mean((colors - target_t) ** 2)
+
+        return jax.value_and_grad(f)(scene)
+
+    if mesh is not None:
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(RAYS_AXIS), P(RAYS_AXIS), P(), P(RAYS_AXIS),
+                      P(RAYS_AXIS)),
+            out_specs=(P(), P()),
+            # pallas_call outputs carry no varying-mesh-axes metadata
+            check_vma=False,
+        )
+        def sharded_vg(scene, idx, counts, o, d, target_t):
+            loss, grads = local_vg(scene, idx, counts, o, d, target_t)
+            return (jax.lax.pmean(loss, RAYS_AXIS),
+                    jax.lax.pmean(grads, RAYS_AXIS))
+
+        vg = sharded_vg
+    else:
+        vg = local_vg
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: FitState, view, o, dirs, target):
+        idx, counts = tile_indices(state.scene, view, tiles, capacity)
+        d = _tile_rays(dirs, height, width, tiles)
+        target_t = _tile_rays(target.reshape(-1, 3), height, width, tiles)
+        loss, grads = vg(state.scene, idx, counts, o, d, target_t)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.scene)
+        scene = optax.apply_updates(state.scene, updates)
+        return FitState(scene, opt_state, state.step + 1), loss
+
+    return step
 
 
 def fit(
