@@ -49,6 +49,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="1-4: untiled; 5-8: tiled (SIMD variants collapse on TPU).")
     p.add_argument("--capacity", type=int, default=None,
                    help="Static per-tile Gaussian capacity (default: auto per scene).")
+    p.add_argument("--backend", choices=("pallas", "xla"), default="pallas",
+                   help="Hot-loop backend: fused Pallas TPU kernel or pure-XLA jnp.")
+    p.add_argument("--erf", default="as5",
+                   choices=("exact", "as5", "as3", "taylor", "spline", "spline_mirror"),
+                   help="erf implementation (as3 = the reference's production A&S choice).")
+    p.add_argument("--gif", default=None,
+                   help="Write all frames as an animated GIF to <file> (gen-gif.sh analog).")
     return p
 
 
@@ -91,6 +98,7 @@ def main(argv=None) -> int:
 
     angle_change = args.rotation / args.frames
     total_time = 0.0
+    gif_frames = [] if args.gif else None
     for frame in range(1, args.frames + 1):
         angle = args.initial_rotation + (frame - 1) * angle_change
         t0 = time.perf_counter()
@@ -104,8 +112,11 @@ def main(argv=None) -> int:
             tiles=args.tiles,
             capacity=capacity or 1,
             use_tiling=use_tiling,
+            backend=args.backend,
+            erf_name=args.erf,
         )
-        img.block_until_ready()
+        # host fetch = the only reliable device sync on a tunneled TPU
+        img_np = np.asarray(img)
         dt = (time.perf_counter() - t0) * 1000.0
 
         if use_tiling and int(max_count) > capacity:
@@ -118,7 +129,9 @@ def main(argv=None) -> int:
         if args.output:
             stem, _, ext = args.output.rpartition(".")
             name = f"{stem}_{frame}.{ext}" if args.frames > 1 else args.output
-            write_png(name, np.asarray(img))
+            write_png(name, img_np)
+        if gif_frames is not None:
+            gif_frames.append(img_np)
 
         if args.frames == 1:
             print(f"TIME: {dt} ms")
@@ -126,6 +139,10 @@ def main(argv=None) -> int:
 
     if args.frames > 1:
         print(f"AVG. TIME: {total_time / args.frames} ms ({args.frames} frames)")
+    if gif_frames is not None:
+        from sgrt_tpu.utils.image import write_gif
+
+        write_gif(args.gif, np.stack(gif_frames))
     return 0
 
 

@@ -70,3 +70,26 @@ def write_png(path: str, image: np.ndarray) -> None:
         pass
     with open(path, "wb") as f:
         f.write(encode_png(image))
+
+
+def write_gif(path: str, frames, delay_cs: int = 4) -> None:
+    """Write an animated GIF from float (N,H,W,3) or uint8 frames — the
+    orbit-animation output (reference: gen-gif.sh renders 24 frames and
+    pipes them through ffmpeg). Native C++ encoder preferred; PIL fallback."""
+    frames = np.asarray(frames)
+    if frames.dtype != np.uint8:
+        frames = np.stack([to_rgba_u8(f)[..., :3] for f in frames])
+    elif frames.shape[-1] == 4:
+        frames = frames[..., :3]
+    try:
+        from sgrt_tpu.utils.native import write_gif_native
+
+        if write_gif_native(path, frames, delay_cs):
+            return
+    except ImportError:
+        pass
+    from PIL import Image  # fallback; raises if neither backend exists
+
+    imgs = [Image.fromarray(f) for f in frames]
+    imgs[0].save(path, save_all=True, append_images=imgs[1:],
+                 duration=delay_cs * 10, loop=0)
