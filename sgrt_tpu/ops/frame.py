@@ -84,6 +84,19 @@ def render_orbit_frame(
             colors = render_rays_impl(o, dirs, scene, q_block, ray_block)
         return colors.reshape(height, width, 3), jnp.zeros((), jnp.int32)
 
+    if backend == "pallas":
+        from sgrt_tpu.ops.pallas_kernel import _block_sizes, render_tiles_pallas
+
+        # Round capacity up so the Gaussian axis divides into kernel blocks.
+        pb, qb = _block_sizes(capacity)
+        capacity = -(-capacity // qb) * qb
+        idx, counts = tile_indices(scene, cam.view_matrix, tiles, capacity)
+        tiled = gather_tiles(scene, idx)
+        d = _tile_rays(dirs, height, width, tiles)
+        colors = render_tiles_pallas(tiled, o, d, counts, pb=pb, qb=qb,
+                                     erf_name=erf_name)
+        return _untile_image(colors, height, width, tiles), jnp.max(counts)
+
     # Static normalization: capacity must divide evenly into q-blocks.
     qb = min(q_block, capacity)
     capacity = -(-capacity // qb) * qb
@@ -91,12 +104,6 @@ def render_orbit_frame(
     tiled = gather_tiles(scene, idx)
     d = _tile_rays(dirs, height, width, tiles)
     t2 = tiles * tiles
-
-    if backend == "pallas":
-        from sgrt_tpu.ops.pallas_kernel import render_tiles_pallas
-
-        colors = render_tiles_pallas(tiled, o, d, counts, qb=qb, erf_name=erf_name)
-        return _untile_image(colors, height, width, tiles), jnp.max(counts)
 
     tb = min(tile_batch, t2)
 

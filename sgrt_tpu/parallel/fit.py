@@ -133,10 +133,11 @@ def make_frame_train_step(
     rt.h:344-404); the scene is replicated and gradients are pmean'd over
     ICI, overlapped with the backward pass by XLA.
     """
+    from sgrt_tpu.ops.pallas_kernel import _block_sizes
     from sgrt_tpu.ops.render import _tile_rays, _untile_image
     from sgrt_tpu.ops.tiling import gather_tiles, tile_indices
 
-    qb = min(128, capacity)
+    pb, qb = _block_sizes(capacity)
     capacity = -(-capacity // qb) * qb
     t2 = tiles * tiles
 
@@ -145,11 +146,11 @@ def make_frame_train_step(
         if backend == "pallas":
             from sgrt_tpu.ops.pallas_kernel import render_tiles_pallas
 
-            return render_tiles_pallas(tiled, o, d, counts, qb=qb,
+            return render_tiles_pallas(tiled, o, d, counts, pb=pb, qb=qb,
                                        erf_name=erf_name)
         from sgrt_tpu.ops.render import _radiance_block
 
-        return jax.vmap(lambda ts, td: _radiance_block(o, td, ts, qb))(tiled, d)
+        return jax.vmap(lambda ts, td: _radiance_block(o, td, ts, min(128, capacity)))(tiled, d)
 
     def masked_scene(scene):
         fields = {

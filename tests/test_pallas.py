@@ -40,7 +40,7 @@ def test_pallas_forward_multiblock(small_setup):
     """Exercise ray-block and q/p-block loops (rb < R, blocks < N)."""
     scene, o, dirs = small_setup
     pal = render_rays_pallas_impl(
-        o, dirs, scene, rb=16, pb=128, qb=128, interpret=True
+        o, dirs, scene, rb=128, pb=16, qb=32, interpret=True
     )
     fused = render_rays_impl(o, dirs, scene, q_block=64, ray_block=128)
     np.testing.assert_allclose(np.asarray(pal), np.asarray(fused), atol=2e-5)
@@ -70,21 +70,21 @@ def test_tw_pallas_counts_prefix_semantics():
     """counts < N must reproduce the result of physically truncating the
     batch entry to its first `count` Gaussians (the per-tile live prefix)."""
     rng = np.random.default_rng(3)
-    B, R, N, count = 2, 16, 256, 100
-    mu_bar = jnp.asarray(rng.normal(0, 1, (B, R, N)), jnp.float32)
-    coeff = jnp.asarray(rng.uniform(0, 0.02, (B, R, N)), jnp.float32)
+    B, R, N, count = 2, 128, 256, 100
+    mu_bar = jnp.asarray(rng.normal(0, 1, (B, N, R)), jnp.float32)
+    coeff = jnp.asarray(rng.uniform(0, 0.02, (B, N, R)), jnp.float32)
     sigma = jnp.asarray(rng.uniform(0.2, 0.4, (B, N)), jnp.float32)
     inv = 1.0 / (np.sqrt(2.0) * sigma)
     # zero coeff beyond the live prefix (the gather's dummy padding contract)
-    mask = (np.arange(N) < count)[None, None, :]
+    mask = (np.arange(N) < count)[None, :, None]
     coeff = coeff * mask
     counts = jnp.full((B,), count, jnp.int32)
 
     out = tw_pallas(mu_bar, coeff, sigma, inv, counts, interpret=True)
     full = tw_pallas(mu_bar, coeff, sigma, inv, None, interpret=True)
-    # live columns must agree with the count-free computation
+    # live rows must agree with the count-free computation
     np.testing.assert_allclose(
-        np.asarray(out)[:, :, :count], np.asarray(full)[:, :, :count],
+        np.asarray(out)[:, :count], np.asarray(full)[:, :count],
         rtol=2e-5, atol=2e-5,
     )
 
