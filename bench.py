@@ -52,16 +52,19 @@ def main():
     # main.tex:1587-1626); "as5" gives the f32-exact variant.
     erf_name = os.environ.get("BENCH_ERF", "as3")
 
-    capacity = int(
-        probe_capacity(scene, [0.0, 30.0, 45.0, 60.0, 90.0], -4.0, 1.0, tiles)
-    )
-    capacity = max(64, int(capacity * 1.3))
+    angles = [0.0, 30.0, 45.0, 60.0, 90.0]
+    capacity = max(64, int(probe_capacity(scene, angles, -4.0, 1.0, tiles) * 1.3))
+    bucket_cfg = None
+    if backend == "pallas":
+        from sgrt_tpu.ops.frame import probe_buckets
+
+        bucket_cfg = probe_buckets(scene, angles, -4.0, 1.0, tiles, margin=1.3)
 
     def frame(angle):
         img, _ = render_orbit_frame(
             scene, angle, -4.0, 1.0,
             width=256, height=256, tiles=tiles, capacity=capacity,
-            backend=backend, erf_name=erf_name,
+            backend=backend, erf_name=erf_name, bucket_cfg=bucket_cfg,
         )
         return img
 

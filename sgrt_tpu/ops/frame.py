@@ -47,7 +47,7 @@ def orbit_camera(angle_deg, offset, focal_length, width: int, height: int) -> Ca
     jax.jit,
     static_argnames=("width", "height", "tiles", "capacity", "q_block",
                      "ray_block", "tile_batch", "use_tiling", "backend",
-                     "erf_name"),
+                     "erf_name", "bucket_cfg"),
 )
 def render_orbit_frame(
     scene: GaussianScene,
@@ -65,6 +65,7 @@ def render_orbit_frame(
     use_tiling: bool = True,
     backend: str = "xla",
     erf_name: str = "as5",
+    bucket_cfg=None,
 ):
     """One full frame → (image (H,W,3), max_tile_count (scalar)).
 
@@ -83,6 +84,15 @@ def render_orbit_frame(
         else:
             colors = render_rays_impl(o, dirs, scene, q_block, ray_block)
         return colors.reshape(height, width, 3), jnp.zeros((), jnp.int32)
+
+    if backend == "pallas" and bucket_cfg is not None:
+        from sgrt_tpu.ops.scheduler import render_tiles_bucketed
+
+        d = _tile_rays(dirs, height, width, tiles)
+        colors, counts = render_tiles_bucketed(
+            scene, cam.view_matrix, o, d, bucket_cfg, erf_name=erf_name,
+            tiles=tiles)
+        return _untile_image(colors, height, width, tiles), jnp.max(counts)
 
     if backend == "pallas":
         from sgrt_tpu.ops.pallas_kernel import _block_sizes, render_tiles_pallas
@@ -133,3 +143,17 @@ def probe_capacity(scene: GaussianScene, angles, offset, focal_length, tiles: in
         int(_probe_one(scene, float(a), offset, focal_length, tiles))
         for a in angles
     )
+
+
+def probe_buckets(scene: GaussianScene, angles, offset, focal_length,
+                  tiles: int, margin: float = 1.2, dense_frac: float = 0.125):
+    """Host helper: size a BucketConfig over sample orbit angles (the
+    bucketed analog of probe_capacity)."""
+    from sgrt_tpu.ops.scheduler import probe_bucket_config
+
+    views = [
+        orbit_camera(float(a), offset, focal_length, 8, 8).view_matrix
+        for a in angles
+    ]
+    return probe_bucket_config(scene, views, tiles, margin=margin,
+                               dense_frac=dense_frac)

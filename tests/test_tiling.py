@@ -128,3 +128,21 @@ def test_capacity_overflow_raises(random_scene):
     assert m > 2
     with pytest.raises(ValueError, match="overflow"):
         render_tiled(random_scene, cam, tiles=2, capacity=2, q_block=2, tile_batch=4)
+
+
+def test_bucketed_render_matches_single_bucket():
+    """Two-bucket scheduling must reproduce the single-capacity tiled frame
+    exactly (static shapes, data-dependent bucket membership)."""
+    from sgrt_tpu.models.gaussians import grid_scene
+    from sgrt_tpu.ops.frame import probe_buckets, render_orbit_frame
+
+    scene = grid_scene(8)
+    cfg = probe_buckets(scene, [0.0, 45.0], -4.0, 1.0, 4)
+    assert cfg.cap_sparse <= cfg.cap_dense
+    img_b, _ = render_orbit_frame(scene, 23.0, width=64, height=64, tiles=4,
+                                  capacity=64, backend="pallas",
+                                  bucket_cfg=cfg)
+    img_p, _ = render_orbit_frame(scene, 23.0, width=64, height=64, tiles=4,
+                                  capacity=64, backend="pallas")
+    np.testing.assert_allclose(np.asarray(img_b), np.asarray(img_p),
+                               atol=2e-6)
