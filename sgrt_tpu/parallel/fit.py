@@ -119,6 +119,7 @@ def make_frame_train_step(
     backend: str = "pallas",
     erf_name: str = "as5",
     trainable: tuple[str, ...] = ("mu", "sigma", "magnitude", "albedo"),
+    bucket_cfg=None,
 ):
     """Tiled whole-frame train step — the north-star fwd+bwd configuration
     (BASELINE.json: teapot fwd+bwd with tile culling).
@@ -132,6 +133,11 @@ def make_frame_train_step(
     tiles — the multi-chip analog of the reference's thread-per-tile pool,
     rt.h:344-404); the scene is replicated and gradients are pmean'd over
     ICI, overlapped with the backward pass by XLA.
+
+    bucket_cfg (ops.scheduler.BucketConfig, single-device only): dense/
+    sparse capacity bucketing of tiles — big win on skewed scenes like the
+    teapot. With a mesh, per-shard bucketing is future work; the
+    single-capacity path is used.
     """
     from sgrt_tpu.ops.pallas_kernel import _block_sizes
     from sgrt_tpu.ops.render import _tile_rays, _untile_image
@@ -185,6 +191,30 @@ def make_frame_train_step(
         vg = sharded_vg
     else:
         vg = local_vg
+
+    if bucket_cfg is not None and mesh is None and backend == "pallas":
+        from sgrt_tpu.ops.scheduler import render_tiles_bucketed
+
+        def bucketed_vg(scene, view, o, d, target_t):
+            def f(s):
+                colors, _ = render_tiles_bucketed(
+                    masked_scene(s), view, o, d, bucket_cfg,
+                    erf_name=erf_name, tiles=tiles)
+                return jnp.mean((colors - target_t) ** 2)
+
+            return jax.value_and_grad(f)(scene)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def bucketed_step(state: FitState, view, o, dirs, target):
+            d = _tile_rays(dirs, height, width, tiles)
+            target_t = _tile_rays(target.reshape(-1, 3), height, width, tiles)
+            loss, grads = bucketed_vg(state.scene, view, o, d, target_t)
+            updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.scene)
+            scene = optax.apply_updates(state.scene, updates)
+            return FitState(scene, opt_state, state.step + 1), loss
+
+        return bucketed_step
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: FitState, view, o, dirs, target):
