@@ -60,7 +60,8 @@ from sgrt_tpu.ops.reference import INV_SQRT_2_PI, SQRT_2
 
 K_TAPS = (-4.0, -3.0, -2.0, -1.0, 0.0)
 K_WEIGHTS = tuple(math.exp(-k * k / 2.0) for k in K_TAPS)
-_DERF = 1.1283791670955126  # 2/sqrt(pi)
+_DERF = 1.1283791670955126   # 2/sqrt(pi)
+_SQRT_2_PI = 0.7978845608028654  # sigma*cbar = coeff * sqrt(2/pi)
 _VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
@@ -119,6 +120,57 @@ def _fwd_kernel(counts_ref, mu_full_ref, co_full_ref, sig_ref, inv_ref,
         accs = jax.lax.fori_loop(0, nq, body, acc0)
         tw = sum(w * jnp.exp(base - acc) for w, acc in zip(K_WEIGHTS, accs))
         tw_ref[0] = tw
+
+
+
+
+def _fwd_color_kernel(counts_ref, mu_full_ref, co_full_ref, sig_ref, inv_ref,
+                      alb_ref, col_ref, *, pb: int, qb: int, erf):
+    """Color-fused forward: computes tw for one p block, then accumulates
+    colors(c,r) += sum_p [sqrt(2/pi)*coeff*tw](p,r) * albedo(p,c) into a
+    (3, RB) output revisited across the p grid dimension — the final albedo
+    matmul rides the MXU in-kernel and tw never touches HBM."""
+    count = counts_ref[pl.program_id(0)]
+    j = pl.program_id(2)
+    rb = mu_full_ref.shape[2]
+    nq = pl.cdiv(count, qb)
+
+    @pl.when(j == 0)
+    def _():
+        col_ref[0] = jnp.zeros((3, rb), jnp.float32)
+
+    @pl.when(j * pb < count)
+    def _():
+        mu = mu_full_ref[0]                     # (N, RB)
+        co = co_full_ref[0]                     # (N, RB)
+        inv = inv_ref[0]                        # (N, 1)
+        p0 = pl.multiple_of(j * pb, pb)
+        mu_p = mu_full_ref[0, pl.ds(p0, pb), :]                  # (PB, RB)
+        sig_p = sig_ref[0, pl.ds(p0, pb), :]                     # (PB, 1)
+        co_p = co_full_ref[0, pl.ds(p0, pb), :]                  # (PB, RB)
+        alb_p = alb_ref[0, pl.ds(p0, pb), :]                     # (PB, 3)
+
+        base = _ones_row_sum(co * erf(-mu * inv))                # (1, RB)
+
+        def body(qi, accs):
+            q0 = pl.multiple_of(qi * qb, qb)
+            mu_q = mu_full_ref[0, pl.ds(q0, qb), :]              # (QB, RB)
+            co_q = co_full_ref[0, pl.ds(q0, qb), :][None]        # (1, QB, RB)
+            inv_q = inv_ref[0, pl.ds(q0, qb), :].reshape(1, qb, 1)
+            darg = (mu_p[:, None, :] - mu_q[None, :, :]) * inv_q  # (PB, QB, RB)
+            ks = sig_p.reshape(pb, 1, 1) * inv_q                  # (PB, QB, 1)
+            return tuple(
+                acc + jnp.sum(co_q * erf(darg + k * ks), axis=1)
+                for acc, k in zip(accs, K_TAPS)
+            )
+
+        acc0 = tuple(jnp.zeros((pb, rb), jnp.float32) for _ in K_TAPS)
+        accs = jax.lax.fori_loop(0, nq, body, acc0)
+        tw = sum(w * jnp.exp(base - acc) for w, acc in zip(K_WEIGHTS, accs))
+        w_p = _SQRT_2_PI * co_p * tw                             # (PB, RB)
+        col_ref[0] += jax.lax.dot_general(
+            alb_p, w_p, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # (3, RB)
 
 
 # ---------------------------------------------------------------------------
@@ -236,6 +288,137 @@ def _bwd_kernel(counts_ref, mu_ref, co_ref, sig_ref, inv_ref, g_ref,
 
     dsig_ref[0] += dsig_col
     dinv_ref[0] += dinv_col
+
+
+
+
+def _bwd_color_kernel(counts_ref, mu_ref, co_ref, sig_ref, inv_ref, alb_ref,
+                      dcol_ref,
+                      dmu_ref, dco_ref, dsig_ref, dinv_ref, dalb_ref,
+                      dmu_s, dco_s, dsig_s, dinv_s, db_s, dalb_s,
+                      *, pb: int, qb: int, erf, erf_and_gauss):
+    """Color-fused backward: the tw cotangent g(p,r) = sqrt(2/pi) * coeff *
+    (albedo @ dcolors) is generated in-kernel from the (3, RB) color
+    cotangent; adds the weights-path dcoeff term and dalbedo on top of the
+    transmittance gradients of _bwd_kernel."""
+    count = counts_ref[pl.program_id(0)]
+    mu = mu_ref[0]                          # (N, RB)
+    co = co_ref[0]
+    inv = inv_ref[0]                        # (N, 1)
+    dcol = dcol_ref[0]                      # (3, RB)
+    n, rb = mu.shape
+    np_dyn = pl.cdiv(count, pb)
+    nq_dyn = pl.cdiv(count, qb)
+
+    e1, g1 = erf_and_gauss(-mu * inv)                            # (N, RB) x2
+    base = _ones_row_sum(co * e1)                                # (1, RB)
+
+    dmu_s[:] = jnp.zeros(dmu_s.shape, jnp.float32)
+    dco_s[:] = jnp.zeros(dco_s.shape, jnp.float32)
+    dsig_s[:] = jnp.zeros(dsig_s.shape, jnp.float32)
+    dinv_s[:] = jnp.zeros(dinv_s.shape, jnp.float32)
+    db_s[:] = jnp.zeros(db_s.shape, jnp.float32)
+    dalb_s[:] = jnp.zeros(dalb_s.shape, jnp.float32)
+
+    def p_body(pi, _):
+        p0 = pl.multiple_of(pi * pb, pb)
+        mu_p = mu_ref[0, pl.ds(p0, pb), :]                       # (PB, RB)
+        sig_p = sig_ref[0, pl.ds(p0, pb), :]                     # (PB, 1)
+        co_p = co_ref[0, pl.ds(p0, pb), :]                       # (PB, RB)
+        alb_p = alb_ref[0, pl.ds(p0, pb), :]                     # (PB, 3)
+        # tw cotangent for this p block (MXU: (PB,3)@(3,RB))
+        A_p = jnp.dot(alb_p, dcol, preferred_element_type=jnp.float32)
+        g_p = _SQRT_2_PI * co_p * A_p                            # (PB, RB)
+
+        # --- pass A: recompute acc_k for this p block -------------------
+        def qa_body(qi, accs):
+            q0 = pl.multiple_of(qi * qb, qb)
+            mu_q = mu_ref[0, pl.ds(q0, qb), :]
+            co_q = co_ref[0, pl.ds(q0, qb), :][None]
+            inv_q = inv_ref[0, pl.ds(q0, qb), :].reshape(1, qb, 1)
+            darg = (mu_p[:, None, :] - mu_q[None, :, :]) * inv_q
+            ks = sig_p.reshape(pb, 1, 1) * inv_q
+            return tuple(
+                acc + jnp.sum(co_q * erf(darg + k * ks), axis=1)
+                for acc, k in zip(accs, K_TAPS)
+            )
+
+        acc0 = tuple(jnp.zeros((pb, rb), jnp.float32) for _ in K_TAPS)
+        accs = jax.lax.fori_loop(0, nq_dyn, qa_body, acc0)
+        T = tuple(w * jnp.exp(base - acc) for w, acc in zip(K_WEIGHTS, accs))
+        tw_p = sum(T)
+        db_s[:] += _ones_row_sum(g_p * tw_p)                     # (1, RB)
+        G = tuple(g_p * t for t in T)                            # dacc_k = -G_k
+
+        # weights-path gradients (colors = albedo^T (sqrt(2/pi) co tw)):
+        dco_s[pl.ds(p0, pb), :] += _SQRT_2_PI * tw_p * A_p
+        w_p = _SQRT_2_PI * co_p * tw_p
+        dalb_s[pl.ds(p0, pb), :] += jax.lax.dot_general(
+            w_p, dcol, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # (PB, 3)
+
+        # --- pass B: gradient accumulation ------------------------------
+        def qb_body(qi, carry):
+            dmu_p, dsig_p = carry                                # (PB,RB) x2
+            q0 = pl.multiple_of(qi * qb, qb)
+            mu_q = mu_ref[0, pl.ds(q0, qb), :]
+            co_q = co_ref[0, pl.ds(q0, qb), :][None]             # (1,QB,RB)
+            inv_q = inv_ref[0, pl.ds(q0, qb), :].reshape(1, qb, 1)
+            d = mu_p[:, None, :] - mu_q[None, :, :]              # (PB,QB,RB)
+            sig_p3 = sig_p.reshape(pb, 1, 1)                     # (PB,1,1)
+
+            dco_blk = jnp.zeros((qb, rb), jnp.float32)
+            dmuq_blk = jnp.zeros((qb, rb), jnp.float32)
+            dinv_blk = jnp.zeros((qb, rb), jnp.float32)
+            for k, Gk in zip(K_TAPS, G):
+                off = d + k * sig_p3                              # = arg / inv_q
+                e, gau = erf_and_gauss(off * inv_q)
+                dco_blk -= jnp.sum(Gk[:, None, :] * e, axis=0)
+                dargk = (-_DERF) * Gk[:, None, :] * co_q * gau    # (PB,QB,RB)
+                di = dargk * inv_q                                # (PB,QB,RB)
+                di_q = jnp.sum(di, axis=1)                        # (PB,RB)
+                dmu_p += di_q
+                dmuq_blk -= jnp.sum(di, axis=0)
+                dsig_p += k * di_q
+                dinv_blk += jnp.sum(dargk * off, axis=0)
+
+            dco_s[pl.ds(q0, qb), :] += dco_blk
+            dmu_s[pl.ds(q0, qb), :] += dmuq_blk
+            dinv_s[pl.ds(q0, qb), :] += dinv_blk
+            return dmu_p, dsig_p
+
+        dmu_p0 = jnp.zeros((pb, rb), jnp.float32)
+        dsig_p0 = jnp.zeros((pb, rb), jnp.float32)
+        dmu_p, dsig_p = jax.lax.fori_loop(0, nq_dyn, qb_body, (dmu_p0, dsig_p0))
+        dmu_s[pl.ds(p0, pb), :] += dmu_p
+        dsig_s[pl.ds(p0, pb), :] += dsig_p
+        return 0
+
+    jax.lax.fori_loop(0, np_dyn, p_body, 0)
+
+    # base-path gradients (need the completed db = sum_p g*tw).
+    db = db_s[:]                                                  # (1, RB)
+    dco_s[:] += db * e1
+    derf1 = _DERF * db * co * g1                                  # d/d(arg1)
+    dmu_s[:] += derf1 * (-inv)
+    dinv_s[:] += derf1 * (-mu)
+
+    dmu_ref[0] = dmu_s[:]
+    dco_ref[0] = dco_s[:]
+
+    dsig_col = jnp.sum(dsig_s[:], axis=1, keepdims=True)          # (N, 1)
+    dinv_col = jnp.sum(dinv_s[:], axis=1, keepdims=True)          # (N, 1)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        dsig_ref[0] = jnp.zeros((n, 1), jnp.float32)
+        dinv_ref[0] = jnp.zeros((n, 1), jnp.float32)
+        dalb_ref[0] = jnp.zeros((n, 3), jnp.float32)
+
+    dsig_ref[0] += dsig_col
+    dinv_ref[0] += dinv_col
+    dalb_ref[0] += dalb_s[:]
 
 
 # ---------------------------------------------------------------------------
@@ -374,6 +557,146 @@ def tw_pallas(mu_bar, coeff, sigma, inv, counts=None, *, rb: int = 128,
     return op(mu_bar, coeff, sigma, inv, counts.astype(jnp.int32))
 
 
+
+
+def _fwd_color_call(mu_bar, coeff, sigma, inv, albedo, counts, *, rb, pb, qb,
+                    erf_name, interpret):
+    b, n, r = mu_bar.shape
+    erf = ERF_IMPLS[erf_name]
+    kernel = functools.partial(_fwd_color_kernel, pb=pb, qb=qb, erf=erf)
+    n_erf = 6 * b * r * n * n
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, r // rb, n // pb),
+        in_specs=[
+            pl.BlockSpec((1, n, rb), lambda bb, i, j, c: (bb, 0, i)),
+            pl.BlockSpec((1, n, rb), lambda bb, i, j, c: (bb, 0, i)),
+            pl.BlockSpec((1, n, 1), lambda bb, i, j, c: (bb, 0, 0)),
+            pl.BlockSpec((1, n, 1), lambda bb, i, j, c: (bb, 0, 0)),
+            pl.BlockSpec((1, n, 3), lambda bb, i, j, c: (bb, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 3, rb), lambda bb, i, j, c: (bb, 0, i)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, 3, r), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=14 * n_erf, bytes_accessed=4 * b * r * n * 2,
+            transcendentals=n_erf,
+        ),
+        compiler_params=_VMEM_LIMIT,
+        interpret=interpret,
+    )(counts, mu_bar, coeff, sigma[:, :, None], inv[:, :, None], albedo)
+
+
+def _bwd_color_call(mu_bar, coeff, sigma, inv, albedo, counts, dcol, *, rb,
+                    pb, qb, erf_name, interpret):
+    b, n, r = mu_bar.shape
+    erf = ERF_IMPLS[erf_name]
+    eag = ERF_AND_GAUSS_IMPLS.get(erf_name, ERF_AND_GAUSS_IMPLS["as5"])
+    kernel = functools.partial(_bwd_color_kernel, pb=pb, qb=qb, erf=erf,
+                               erf_and_gauss=eag)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, r // rb),
+        in_specs=[
+            pl.BlockSpec((1, n, rb), lambda bb, i, c: (bb, 0, i)),
+            pl.BlockSpec((1, n, rb), lambda bb, i, c: (bb, 0, i)),
+            pl.BlockSpec((1, n, 1), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, n, 1), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, n, 3), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, 3, rb), lambda bb, i, c: (bb, 0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n, rb), lambda bb, i, c: (bb, 0, i)),
+            pl.BlockSpec((1, n, rb), lambda bb, i, c: (bb, 0, i)),
+            pl.BlockSpec((1, n, 1), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, n, 1), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, n, 3), lambda bb, i, c: (bb, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, rb), jnp.float32),
+            pltpu.VMEM((n, rb), jnp.float32),
+            pltpu.VMEM((n, rb), jnp.float32),
+            pltpu.VMEM((n, rb), jnp.float32),
+            pltpu.VMEM((1, rb), jnp.float32),
+            pltpu.VMEM((n, 3), jnp.float32),
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, r), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, r), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 3), jnp.float32),
+        ],
+        compiler_params=_VMEM_LIMIT,
+        interpret=interpret,
+    )
+    dmu, dco, dsig, dinv, dalb = call(counts, mu_bar, coeff,
+                                      sigma[:, :, None], inv[:, :, None],
+                                      albedo, dcol)
+    return dmu, dco, dsig[:, :, 0], dinv[:, :, 0], dalb
+
+
+@functools.lru_cache(maxsize=None)
+def _make_color_op(rb, pb, qb, rb_bwd, erf_name, interpret):
+    """Cached custom-VJP color op.
+
+    color_op(mu_bar (B,N,R), coeff (B,N,R), sigma (B,N), inv (B,N),
+             albedo (B,N,3), counts (B,) int32) -> colors (B,3,R)
+    """
+
+    @jax.custom_vjp
+    def color_op(mu_bar, coeff, sigma, inv, albedo, counts):
+        return _fwd_color_call(mu_bar, coeff, sigma, inv, albedo, counts,
+                               rb=rb, pb=pb, qb=qb, erf_name=erf_name,
+                               interpret=interpret)
+
+    def fwd(mu_bar, coeff, sigma, inv, albedo, counts):
+        return color_op(mu_bar, coeff, sigma, inv, albedo, counts), (
+            mu_bar, coeff, sigma, inv, albedo, counts)
+
+    def bwd(res, g):
+        mu_bar, coeff, sigma, inv, albedo, counts = res
+        dmu, dco, dsig, dinv, dalb = _bwd_color_call(
+            mu_bar, coeff, sigma, inv, albedo, counts, g, rb=rb_bwd, pb=pb,
+            qb=qb, erf_name=erf_name, interpret=interpret,
+        )
+        dcounts = np.zeros(counts.shape, jax.dtypes.float0)
+        return dmu, dco, dsig, dinv, dalb, dcounts
+
+    color_op.defvjp(fwd, bwd)
+    return color_op
+
+
+def colors_pallas(mu_bar, coeff, sigma, inv, albedo, counts=None, *,
+                  rb: int = 128, pb: int = 16, qb: int = 32,
+                  rb_bwd: int | None = None, erf_name: str = "as5",
+                  interpret: bool | None = None):
+    """Fully-fused radiance kernel: Gaussian-major inputs (see tw_pallas),
+    plus albedo (B, N, 3) → colors (B, 3, R). The albedo matmul and the
+    transmittance-weight reduction run in one kernel; tw never hits HBM."""
+    if interpret is None:
+        interpret = _auto_interpret()
+    b, n, r = mu_bar.shape
+    rb = min(rb, r)
+    rb_bwd = rb if rb_bwd is None else min(rb_bwd, r)
+    pb = min(pb, n)
+    qb = min(qb, n)
+    if r % rb or n % pb or n % qb or r % rb_bwd or pb % 8 or qb % 8:
+        raise ValueError(f"shape (R={r}, N={n}) not divisible by blocks "
+                         f"(rb={rb}, rb_bwd={rb_bwd}, pb={pb}, qb={qb})")
+    if counts is None:
+        counts = jnp.full((b,), n, jnp.int32)
+    op = _make_color_op(rb, pb, qb, rb_bwd, erf_name, interpret)
+    return op(mu_bar, coeff, sigma, inv, albedo, counts.astype(jnp.int32))
+
+
 # ---------------------------------------------------------------------------
 # renderer entry points (Pallas backend)
 # ---------------------------------------------------------------------------
@@ -423,15 +746,13 @@ def render_rays_pallas_impl(o, dirs, scene: GaussianScene, *, rb: int = 128,
     rb = min(rb, r)
     pad = (-r) % rb
     dirs_p = jnp.concatenate([dirs, jnp.ones((pad, 3), dirs.dtype)]) if pad else dirs
-    mu_bar, cbar, coeff, inv = _prep_terms_T(o[None, :], dirs_p, scene)
+    mu_bar, _, coeff, inv = _prep_terms_T(o[None, :], dirs_p, scene)
     counts = jnp.full((1,), n_live, jnp.int32)
-    tw = tw_pallas(mu_bar[None], coeff[None], scene.sigma[None], inv[None],
-                   counts, rb=rb, pb=pb, qb=qb, rb_bwd=rb_bwd,
-                   erf_name=erf_name, interpret=interpret)[0]
-    weights = scene.sigma[:, None] * cbar * tw               # (N, R)
-    colors = jnp.einsum("nr,nc->rc", weights, scene.albedo,
-                        precision=jax.lax.Precision.HIGHEST)
-    return colors[:r]
+    colors_t = colors_pallas(
+        mu_bar[None], coeff[None], scene.sigma[None], inv[None],
+        scene.albedo[None], counts, rb=rb, pb=pb, qb=qb, rb_bwd=rb_bwd,
+        erf_name=erf_name, interpret=interpret)[0]          # (3, R)
+    return colors_t.T[:r]
 
 
 render_rays_pallas = jax.jit(
@@ -464,11 +785,10 @@ def render_tiles_pallas(tiled_scene: GaussianScene, o, tile_dirs, counts=None,
         dpb, dqb = _block_sizes(k)
         pb = dpb if pb is None else pb
         qb = dqb if qb is None else qb
-    mu_bar, cbar, coeff, inv = _prep_terms_T(o[None, None, :], tile_dirs,
-                                             tiled_scene)
-    tw = tw_pallas(mu_bar, coeff, tiled_scene.sigma, inv, counts, rb=rb,
-                   pb=pb, qb=qb, rb_bwd=rb_bwd, erf_name=erf_name,
-                   interpret=interpret)
-    weights = tiled_scene.sigma[:, :, None] * cbar * tw      # (T2, K, P)
-    return jnp.einsum("tkp,tkc->tpc", weights, tiled_scene.albedo,
-                      precision=jax.lax.Precision.HIGHEST)
+    mu_bar, _, coeff, inv = _prep_terms_T(o[None, None, :], tile_dirs,
+                                          tiled_scene)
+    colors_t = colors_pallas(
+        mu_bar, coeff, tiled_scene.sigma, inv, tiled_scene.albedo, counts,
+        rb=rb, pb=pb, qb=qb, rb_bwd=rb_bwd, erf_name=erf_name,
+        interpret=interpret)                                 # (T2, 3, P)
+    return jnp.transpose(colors_t, (0, 2, 1))
