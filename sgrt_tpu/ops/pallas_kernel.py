@@ -69,6 +69,11 @@ def _auto_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _dslice(a, start, size):
+    """Dynamic row-slice of a materialized array (pl.ds works on refs only)."""
+    return jax.lax.dynamic_slice_in_dim(a, start, size, 0)
+
+
 def _ones_row_sum(x):
     """Sum a (N, R) array over its sublane axis → (1, R) via an MXU matvec
     (a plain axis-0 jnp.sum to a one-row result trips a Mosaic relayout
@@ -746,12 +751,12 @@ def render_rays_pallas_impl(o, dirs, scene: GaussianScene, *, rb: int = 128,
     rb = min(rb, r)
     pad = (-r) % rb
     dirs_p = jnp.concatenate([dirs, jnp.ones((pad, 3), dirs.dtype)]) if pad else dirs
-    mu_bar, _, coeff, inv = _prep_terms_T(o[None, :], dirs_p, scene)
     counts = jnp.full((1,), n_live, jnp.int32)
-    colors_t = colors_pallas(
-        mu_bar[None], coeff[None], scene.sigma[None], inv[None],
-        scene.albedo[None], counts, rb=rb, pb=pb, qb=qb, rb_bwd=rb_bwd,
-        erf_name=erf_name, interpret=interpret)[0]          # (3, R)
+    oc = scene.mu - o[None, :]
+    colors_t = render_fused(
+        oc[None], scene.sigma[None], scene.magnitude[None],
+        scene.albedo[None], dirs_p.T[None], counts, rb=rb, pb=pb, qb=qb,
+        rb_bwd=rb_bwd, erf_name=erf_name, interpret=interpret)[0]  # (3, R)
     return colors_t.T[:r]
 
 
@@ -785,10 +790,374 @@ def render_tiles_pallas(tiled_scene: GaussianScene, o, tile_dirs, counts=None,
         dpb, dqb = _block_sizes(k)
         pb = dpb if pb is None else pb
         qb = dqb if qb is None else qb
-    mu_bar, _, coeff, inv = _prep_terms_T(o[None, None, :], tile_dirs,
-                                          tiled_scene)
-    colors_t = colors_pallas(
-        mu_bar, coeff, tiled_scene.sigma, inv, tiled_scene.albedo, counts,
-        rb=rb, pb=pb, qb=qb, rb_bwd=rb_bwd, erf_name=erf_name,
-        interpret=interpret)                                 # (T2, 3, P)
+    oc = tiled_scene.mu - o[None, None, :]                   # (T2, K, 3)
+    dirs_t = jnp.transpose(tile_dirs, (0, 2, 1))             # (T2, 3, P)
+    colors_t = render_fused(
+        oc, tiled_scene.sigma, tiled_scene.magnitude, tiled_scene.albedo,
+        dirs_t, counts, rb=rb, pb=pb, qb=qb, rb_bwd=rb_bwd,
+        erf_name=erf_name, interpret=interpret)              # (T2, 3, P)
     return jnp.transpose(colors_t, (0, 2, 1))
+
+
+# ---------------------------------------------------------------------------
+# fully-fused op: raw scene in, colors out — the speed-of-light path.
+# mu_bar/coeff live only in VMEM scratch; gradients are chained through the
+# prep in-kernel so no (B, N, R)-sized array touches HBM in either direction.
+# ---------------------------------------------------------------------------
+
+_INV_SQRT_2 = 0.7071067811865476
+
+
+def _prep_scratch(oc, sig, mag, d, mb_s, co_s, inv_s):
+    """In-kernel prep: mu_bar, coeff and 1/(sqrt2 sigma) into VMEM scratch
+    (inv must live in a ref — Mosaic cannot dynamic-slice values).
+
+    oc (N,3) = mu - o; d (3,RB) ray dirs; sig/mag (N,1).
+    mb = oc @ d (MXU); co = mag*sig*sqrt(pi/2) * exp(-(|oc|^2 - mb^2)/(2s^2)).
+    Returns (ocsq (N,1), inv2s2 (N,1), inv (N,1), e (N,RB) the exp factor).
+    """
+    mb = jnp.dot(oc, d, preferred_element_type=jnp.float32)      # (N, RB)
+    ocsq = jnp.sum(oc * oc, axis=1, keepdims=True)               # (N, 1)
+    inv2s2 = 1.0 / (2.0 * sig * sig)
+    inv = _INV_SQRT_2 / sig
+    e = jnp.exp(-(ocsq - mb * mb) * inv2s2)                      # (N, RB)
+    mb_s[:] = mb
+    co_s[:] = (mag * sig * INV_SQRT_2_PI) * e
+    inv_s[:] = inv
+    return ocsq, inv2s2, inv, e
+
+
+def _fused_fwd_kernel(counts_ref, oc_ref, sig_ref, mag_ref, alb_ref, dirs_ref,
+                      col_ref, mb_s, co_s, inv_s, *, pb: int, qb: int, erf):
+    count = counts_ref[pl.program_id(0)]
+    rb = dirs_ref.shape[2]
+    n = oc_ref.shape[1]
+    np_dyn = pl.cdiv(count, pb)
+    nq_dyn = pl.cdiv(count, qb)
+
+    sig = sig_ref[0]                                             # (N, 1)
+    _, _, inv, _ = _prep_scratch(oc_ref[0], sig, mag_ref[0], dirs_ref[0],
+                                 mb_s, co_s, inv_s)
+    base = _ones_row_sum(co_s[:] * erf(-mb_s[:] * inv))          # (1, RB)
+    col_ref[0] = jnp.zeros((3, rb), jnp.float32)
+
+    def p_body(pi, _):
+        p0 = pl.multiple_of(pi * pb, pb)
+        mu_p = mb_s[pl.ds(p0, pb), :]                            # (PB, RB)
+        sig_p = sig_ref[0, pl.ds(p0, pb), :]                     # (PB, 1)
+        co_p = co_s[pl.ds(p0, pb), :]
+        alb_p = alb_ref[0, pl.ds(p0, pb), :]                     # (PB, 3)
+
+        def q_body(qi, accs):
+            q0 = pl.multiple_of(qi * qb, qb)
+            mu_q = mb_s[pl.ds(q0, qb), :]                        # (QB, RB)
+            co_q = co_s[pl.ds(q0, qb), :][None]                  # (1, QB, RB)
+            inv_q = inv_s[pl.ds(q0, qb), :].reshape(1, qb, 1)
+            darg = (mu_p[:, None, :] - mu_q[None, :, :]) * inv_q
+            ks = sig_p.reshape(pb, 1, 1) * inv_q
+            return tuple(
+                acc + jnp.sum(co_q * erf(darg + k * ks), axis=1)
+                for acc, k in zip(accs, K_TAPS)
+            )
+
+        acc0 = tuple(jnp.zeros((pb, rb), jnp.float32) for _ in K_TAPS)
+        accs = jax.lax.fori_loop(0, nq_dyn, q_body, acc0)
+        tw = sum(w * jnp.exp(base - acc) for w, acc in zip(K_WEIGHTS, accs))
+        w_p = _SQRT_2_PI * co_p * tw
+        col_ref[0] += jax.lax.dot_general(
+            alb_p, w_p, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, np_dyn, p_body, 0)
+
+
+def _fused_bwd_kernel(counts_ref, oc_ref, sig_ref, mag_ref, alb_ref, dirs_ref,
+                      dcol_ref,
+                      doc_ref, dsig_ref, dmag_ref, dalb_ref,
+                      mb_s, co_s, inv_s, dmb_s, dco_s, dsig_s, dinv_s, db_s,
+                      dalb_s,
+                      *, pb: int, qb: int, erf, erf_and_gauss):
+    count = counts_ref[pl.program_id(0)]
+    n = oc_ref.shape[1]
+    rb = dirs_ref.shape[2]
+    np_dyn = pl.cdiv(count, pb)
+    nq_dyn = pl.cdiv(count, qb)
+
+    oc = oc_ref[0]                                               # (N, 3)
+    sig = sig_ref[0]                                             # (N, 1)
+    mag = mag_ref[0]
+    d = dirs_ref[0]                                              # (3, RB)
+    dcol = dcol_ref[0]                                           # (3, RB)
+
+    ocsq, inv2s2, inv, _ = _prep_scratch(oc, sig, mag, d, mb_s, co_s, inv_s)
+    mb = mb_s[:]
+    co = co_s[:]
+    e1, g1 = erf_and_gauss(-mb * inv)                            # (N, RB) x2
+    base = _ones_row_sum(co * e1)                                # (1, RB)
+
+    dmb_s[:] = jnp.zeros(dmb_s.shape, jnp.float32)
+    dco_s[:] = jnp.zeros(dco_s.shape, jnp.float32)
+    dsig_s[:] = jnp.zeros(dsig_s.shape, jnp.float32)
+    dinv_s[:] = jnp.zeros(dinv_s.shape, jnp.float32)
+    db_s[:] = jnp.zeros(db_s.shape, jnp.float32)
+    dalb_s[:] = jnp.zeros(dalb_s.shape, jnp.float32)
+
+    def p_body(pi, _):
+        p0 = pl.multiple_of(pi * pb, pb)
+        mu_p = mb_s[pl.ds(p0, pb), :]
+        sig_p = sig_ref[0, pl.ds(p0, pb), :]
+        co_p = co_s[pl.ds(p0, pb), :]
+        alb_p = alb_ref[0, pl.ds(p0, pb), :]
+        A_p = jnp.dot(alb_p, dcol, preferred_element_type=jnp.float32)
+        g_p = _SQRT_2_PI * co_p * A_p                            # (PB, RB)
+
+        def qa_body(qi, accs):
+            q0 = pl.multiple_of(qi * qb, qb)
+            mu_q = mb_s[pl.ds(q0, qb), :]
+            co_q = co_s[pl.ds(q0, qb), :][None]
+            inv_q = inv_s[pl.ds(q0, qb), :].reshape(1, qb, 1)
+            darg = (mu_p[:, None, :] - mu_q[None, :, :]) * inv_q
+            ks = sig_p.reshape(pb, 1, 1) * inv_q
+            return tuple(
+                acc + jnp.sum(co_q * erf(darg + k * ks), axis=1)
+                for acc, k in zip(accs, K_TAPS)
+            )
+
+        acc0 = tuple(jnp.zeros((pb, rb), jnp.float32) for _ in K_TAPS)
+        accs = jax.lax.fori_loop(0, nq_dyn, qa_body, acc0)
+        T = tuple(w * jnp.exp(base - acc) for w, acc in zip(K_WEIGHTS, accs))
+        tw_p = sum(T)
+        db_s[:] += _ones_row_sum(g_p * tw_p)
+        G = tuple(g_p * t for t in T)
+
+        dco_s[pl.ds(p0, pb), :] += _SQRT_2_PI * tw_p * A_p
+        w_p = _SQRT_2_PI * co_p * tw_p
+        dalb_s[pl.ds(p0, pb), :] += jax.lax.dot_general(
+            w_p, dcol, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        def qb_body(qi, carry):
+            dmu_p, dsig_p = carry
+            q0 = pl.multiple_of(qi * qb, qb)
+            mu_q = mb_s[pl.ds(q0, qb), :]
+            co_q = co_s[pl.ds(q0, qb), :][None]
+            inv_q = inv_s[pl.ds(q0, qb), :].reshape(1, qb, 1)
+            dd = mu_p[:, None, :] - mu_q[None, :, :]
+            sig_p3 = sig_p.reshape(pb, 1, 1)
+
+            dco_blk = jnp.zeros((qb, rb), jnp.float32)
+            dmuq_blk = jnp.zeros((qb, rb), jnp.float32)
+            dinv_blk = jnp.zeros((qb, rb), jnp.float32)
+            for k, Gk in zip(K_TAPS, G):
+                off = dd + k * sig_p3
+                ee, gau = erf_and_gauss(off * inv_q)
+                dco_blk -= jnp.sum(Gk[:, None, :] * ee, axis=0)
+                dargk = (-_DERF) * Gk[:, None, :] * co_q * gau
+                di = dargk * inv_q
+                di_q = jnp.sum(di, axis=1)
+                dmu_p += di_q
+                dmuq_blk -= jnp.sum(di, axis=0)
+                dsig_p += k * di_q
+                dinv_blk += jnp.sum(dargk * off, axis=0)
+
+            dco_s[pl.ds(q0, qb), :] += dco_blk
+            dmb_s[pl.ds(q0, qb), :] += dmuq_blk
+            dinv_s[pl.ds(q0, qb), :] += dinv_blk
+            return dmu_p, dsig_p
+
+        dmu_p0 = jnp.zeros((pb, rb), jnp.float32)
+        dsig_p0 = jnp.zeros((pb, rb), jnp.float32)
+        dmu_p, dsig_p = jax.lax.fori_loop(0, nq_dyn, qb_body,
+                                          (dmu_p0, dsig_p0))
+        dmb_s[pl.ds(p0, pb), :] += dmu_p
+        dsig_s[pl.ds(p0, pb), :] += dsig_p
+        return 0
+
+    jax.lax.fori_loop(0, np_dyn, p_body, 0)
+
+    # base-path gradients
+    db = db_s[:]                                                  # (1, RB)
+    dco_s[:] += db * e1
+    derf1 = _DERF * db * co * g1
+    dmb_s[:] += derf1 * (-inv)
+    dinv_s[:] += derf1 * (-mb)
+
+    # ---- chain through the in-kernel prep -------------------------------
+    # co = mag*sig*sqrt(2/pi)... (INV_SQRT_2_PI) * e,  e = exp(-(ocsq-mb^2)*inv2s2)
+    dcoco = dco_s[:] * co                                         # (N, RB)
+    dmb_s[:] += dcoco * (2.0 * inv2s2) * mb                       # ∂e/∂mb
+    docsq = jnp.sum(dcoco, axis=1, keepdims=True) * (-inv2s2)     # (N, 1)
+    # ∂co/∂sig = co/sig + co*(ocsq-mb^2)/sig^3;  ∂inv/∂sig = -inv/sig
+    s_row = jnp.sum(dcoco, axis=1, keepdims=True)                 # Σ_r dco*co
+    s_qmb = jnp.sum(dcoco * (ocsq - mb * mb), axis=1, keepdims=True)
+    dsig_col = (jnp.sum(dsig_s[:], axis=1, keepdims=True)
+                + jnp.sum(dinv_s[:], axis=1, keepdims=True) * (-inv / sig)
+                + s_row / sig + s_qmb / (sig * sig * sig))        # (N, 1)
+    dmag_col = mag * s_row / jnp.where(mag > 0, mag * mag, 1.0)  # = Σ dco*co/mag
+    doc = (jax.lax.dot_general(dmb_s[:], d, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+           + 2.0 * oc * docsq)                                    # (N, 3)
+
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        doc_ref[0] = jnp.zeros((n, 3), jnp.float32)
+        dsig_ref[0] = jnp.zeros((n, 1), jnp.float32)
+        dmag_ref[0] = jnp.zeros((n, 1), jnp.float32)
+        dalb_ref[0] = jnp.zeros((n, 3), jnp.float32)
+
+    doc_ref[0] += doc
+    dsig_ref[0] += dsig_col
+    dmag_ref[0] += dmag_col
+    dalb_ref[0] += dalb_s[:]
+
+
+def _fused_fwd_call(oc, sigma, mag, albedo, dirs_t, counts, *, rb, pb, qb,
+                    erf_name, interpret):
+    b, n, _ = oc.shape
+    r = dirs_t.shape[2]
+    erf = ERF_IMPLS[erf_name]
+    kernel = functools.partial(_fused_fwd_kernel, pb=pb, qb=qb, erf=erf)
+    n_erf = 6 * b * r * n * n
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, r // rb),
+        in_specs=[
+            pl.BlockSpec((1, n, 3), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, n, 1), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, n, 1), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, n, 3), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, 3, rb), lambda bb, i, c: (bb, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, 3, rb), lambda bb, i, c: (bb, 0, i)),
+        scratch_shapes=[
+            pltpu.VMEM((n, rb), jnp.float32),
+            pltpu.VMEM((n, rb), jnp.float32),
+            pltpu.VMEM((n, 1), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, 3, r), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=14 * n_erf, bytes_accessed=4 * b * n * 8,
+            transcendentals=n_erf,
+        ),
+        compiler_params=_VMEM_LIMIT,
+        interpret=interpret,
+    )(counts, oc, sigma[:, :, None], mag[:, :, None], albedo, dirs_t)
+
+
+def _fused_bwd_call(oc, sigma, mag, albedo, dirs_t, counts, dcol, *, rb, pb,
+                    qb, erf_name, interpret):
+    b, n, _ = oc.shape
+    r = dirs_t.shape[2]
+    erf = ERF_IMPLS[erf_name]
+    eag = ERF_AND_GAUSS_IMPLS.get(erf_name, ERF_AND_GAUSS_IMPLS["as5"])
+    kernel = functools.partial(_fused_bwd_kernel, pb=pb, qb=qb, erf=erf,
+                               erf_and_gauss=eag)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, r // rb),
+        in_specs=[
+            pl.BlockSpec((1, n, 3), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, n, 1), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, n, 1), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, n, 3), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, 3, rb), lambda bb, i, c: (bb, 0, i)),
+            pl.BlockSpec((1, 3, rb), lambda bb, i, c: (bb, 0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n, 3), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, n, 1), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, n, 1), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, n, 3), lambda bb, i, c: (bb, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, rb), jnp.float32),   # mb
+            pltpu.VMEM((n, rb), jnp.float32),   # co
+            pltpu.VMEM((n, 1), jnp.float32),    # inv
+            pltpu.VMEM((n, rb), jnp.float32),   # dmb
+            pltpu.VMEM((n, rb), jnp.float32),   # dco
+            pltpu.VMEM((n, rb), jnp.float32),   # dsig
+            pltpu.VMEM((n, rb), jnp.float32),   # dinv
+            pltpu.VMEM((1, rb), jnp.float32),   # db
+            pltpu.VMEM((n, 3), jnp.float32),    # dalb
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, 3), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 3), jnp.float32),
+        ],
+        compiler_params=_VMEM_LIMIT,
+        interpret=interpret,
+    )
+    doc, dsig, dmag, dalb = call(counts, oc, sigma[:, :, None],
+                                 mag[:, :, None], albedo, dirs_t, dcol)
+    return doc, dsig[:, :, 0], dmag[:, :, 0], dalb
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_op(rb, pb, qb, rb_bwd, erf_name, interpret):
+    """Fully-fused custom-VJP op.
+
+    fused_op(oc (B,N,3) = mu - o, sigma (B,N), magnitude (B,N),
+             albedo (B,N,3), dirs_t (B,3,R), counts (B,) int32)
+        -> colors (B,3,R)
+    """
+
+    @jax.custom_vjp
+    def fused_op(oc, sigma, mag, albedo, dirs_t, counts):
+        return _fused_fwd_call(oc, sigma, mag, albedo, dirs_t, counts,
+                               rb=rb, pb=pb, qb=qb, erf_name=erf_name,
+                               interpret=interpret)
+
+    def fwd(oc, sigma, mag, albedo, dirs_t, counts):
+        return fused_op(oc, sigma, mag, albedo, dirs_t, counts), (
+            oc, sigma, mag, albedo, dirs_t, counts)
+
+    def bwd(res, g):
+        oc, sigma, mag, albedo, dirs_t, counts = res
+        doc, dsig, dmag, dalb = _fused_bwd_call(
+            oc, sigma, mag, albedo, dirs_t, counts, g, rb=rb_bwd, pb=pb,
+            qb=qb, erf_name=erf_name, interpret=interpret,
+        )
+        ddirs = jnp.zeros_like(dirs_t)  # camera rays are not optimized
+        dcounts = np.zeros(counts.shape, jax.dtypes.float0)
+        return doc, dsig, dmag, dalb, ddirs, dcounts
+
+    fused_op.defvjp(fwd, bwd)
+    return fused_op
+
+
+def render_fused(scene_oc, sigma, mag, albedo, dirs_t, counts=None, *,
+                 rb: int = 128, pb: int = 16, qb: int = 32,
+                 rb_bwd: int | None = None, erf_name: str = "as5",
+                 interpret: bool | None = None):
+    """Fully-fused batched render: oc (B,N,3), sigma/mag (B,N), albedo
+    (B,N,3), dirs_t (B,3,R) → colors (B,3,R). No (B,N,R) intermediate in
+    HBM; backward returns scene-shaped gradients only. Differentiable via
+    the in-kernel analytic VJP (not differentiable w.r.t. ray directions)."""
+    if interpret is None:
+        interpret = _auto_interpret()
+    b, n, _ = scene_oc.shape
+    r = dirs_t.shape[2]
+    rb = min(rb, r)
+    rb_bwd = rb if rb_bwd is None else min(rb_bwd, r)
+    pb = min(pb, n)
+    qb = min(qb, n)
+    if r % rb or n % pb or n % qb or r % rb_bwd or pb % 8 or qb % 8:
+        raise ValueError(f"shape (R={r}, N={n}) not divisible by blocks "
+                         f"(rb={rb}, rb_bwd={rb_bwd}, pb={pb}, qb={qb})")
+    if counts is None:
+        counts = jnp.full((b,), n, jnp.int32)
+    op = _make_fused_op(rb, pb, qb, rb_bwd, erf_name, interpret)
+    return op(scene_oc, sigma, mag, albedo, dirs_t, counts.astype(jnp.int32))
