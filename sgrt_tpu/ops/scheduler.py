@@ -90,24 +90,25 @@ def bucketed_tile_indices(scene: GaussianScene, view: jnp.ndarray,
 
 def render_tiles_bucketed(scene: GaussianScene, view, o, tile_dirs,
                           cfg: BucketConfig, erf_name: str = "as5",
-                          tiles: int | None = None):
+                          tiles: int | None = None, rb: int = 128,
+                          pb: int | None = None, qb: int | None = None):
     """Two-bucket tiled render: tile_dirs (T2, P, 3) → (colors (T2, P, 3),
     counts (T2,)). Differentiable w.r.t. the scene (the bucket gathers
-    transpose to scatter-adds)."""
+    transpose to scatter-adds). pb/qb default per-bucket via _block_sizes."""
     from sgrt_tpu.ops.pallas_kernel import _block_sizes, render_tiles_pallas
 
     t2 = tile_dirs.shape[0]
     tiles = tiles if tiles is not None else int(round(t2 ** 0.5))
     # round capacities so each bucket's Gaussian axis divides into blocks
-    pb_d, qb_d = _block_sizes(cfg.cap_dense)
-    pb_s, qb_s = _block_sizes(cfg.cap_sparse)
-    cfg = cfg.round_to(qb_d, qb_s)
+    pb_d, qb_d = _block_sizes(cfg.cap_dense) if pb is None else (pb, qb)
+    pb_s, qb_s = _block_sizes(cfg.cap_sparse) if pb is None else (pb, qb)
+    cfg = cfg.round_to(max(pb_d, qb_d), max(pb_s, qb_s))
     dense_ids, idx_d, sparse_ids, idx_s, counts = bucketed_tile_indices(
         scene, view, tiles, cfg)
 
     colors_s = render_tiles_pallas(
         gather_tiles(scene, idx_s), o, tile_dirs[sparse_ids],
-        counts[sparse_ids], pb=pb_s, qb=qb_s, erf_name=erf_name)
+        counts[sparse_ids], rb=rb, pb=pb_s, qb=qb_s, erf_name=erf_name)
 
     colors = jnp.zeros((t2,) + colors_s.shape[1:], colors_s.dtype)
     colors = colors.at[sparse_ids].set(colors_s)
@@ -115,6 +116,6 @@ def render_tiles_bucketed(scene: GaussianScene, view, o, tile_dirs,
     if cfg.n_dense > 0:
         colors_d = render_tiles_pallas(
             gather_tiles(scene, idx_d), o, tile_dirs[dense_ids],
-            counts[dense_ids], pb=pb_d, qb=qb_d, erf_name=erf_name)
+            counts[dense_ids], rb=rb, pb=pb_d, qb=qb_d, erf_name=erf_name)
         colors = colors.at[dense_ids].set(colors_d)
     return colors, counts

@@ -120,19 +120,56 @@ def tile_indices(scene: GaussianScene, view: jnp.ndarray, tiles: int, capacity: 
     return compact_rows(member, capacity, scene.n), counts
 
 
+def _onehot_gather(packed: jnp.ndarray, flat_idx: jnp.ndarray,
+                   max_elems: int = 16 * 1024 * 1024) -> jnp.ndarray:
+    """Row-gather packed (M, C) by flat_idx (R,) via a one-hot MXU matmul.
+
+    XLA lowers `a[idx]` row-gathers with tiny trailing dims to per-row DMAs
+    (~15x slower than this on TPU for the per-frame tile gather). A float32
+    one-hot matmul is bit-exact (each output row is 1*v + 0*... ) and its
+    transpose (the scene-gradient scatter-add) is an equally fast matmul.
+    The one-hot buffer is chunked to <= max_elems elements.
+    """
+    m = packed.shape[0]
+    r = flat_idx.shape[0]
+    cols = jnp.arange(m, dtype=flat_idx.dtype)
+
+    def chunk_gather(ix):
+        oh = (ix[:, None] == cols[None, :]).astype(packed.dtype)
+        return jnp.dot(oh, packed, preferred_element_type=packed.dtype)
+
+    rows_per_chunk = max(1, max_elems // m)
+    if r <= rows_per_chunk:
+        return chunk_gather(flat_idx)
+    n_chunks = -(-r // rows_per_chunk)
+    pad = n_chunks * rows_per_chunk - r
+    ix = jnp.concatenate([flat_idx, jnp.zeros((pad,), flat_idx.dtype)])
+    out = jax.lax.map(chunk_gather, ix.reshape(n_chunks, rows_per_chunk))
+    return out.reshape(-1, packed.shape[1])[:r]
+
+
 def gather_tiles(scene: GaussianScene, idx: jnp.ndarray) -> GaussianScene:
     """Gather per-tile Gaussian blocks: idx (T^2, K) → scene pytree with
-    leading (T^2, K) axes. Index N selects the inert dummy row."""
-    dummy = GaussianScene(
-        mu=jnp.zeros((1, 3), jnp.float32),
-        sigma=jnp.ones((1,), jnp.float32),
-        magnitude=jnp.zeros((1,), jnp.float32),
-        albedo=jnp.zeros((1, 3), jnp.float32),
+    leading (T^2, K) axes. Index N selects the inert dummy row
+    (sigma=1, magnitude=0 — the reference's SoA padding, types.cpp:53-63).
+
+    All four fields are packed into one (N+1, 8) matrix so the gather is a
+    single one-hot MXU matmul (see _onehot_gather)."""
+    n = scene.n
+    packed = jnp.concatenate(
+        [scene.mu, scene.sigma[:, None], scene.magnitude[:, None],
+         scene.albedo], axis=1,
+    )                                                       # (N, 8)
+    dummy = jnp.zeros((1, 8), packed.dtype).at[0, 3].set(1.0)
+    packed = jnp.concatenate([packed, dummy], axis=0)       # (N+1, 8)
+    t2, k = idx.shape
+    out = _onehot_gather(packed, idx.reshape(-1)).reshape(t2, k, 8)
+    return GaussianScene(
+        mu=out[..., 0:3],
+        sigma=out[..., 3],
+        magnitude=out[..., 4],
+        albedo=out[..., 5:8],
     )
-    ext = jax.tree_util.tree_map(
-        lambda a, d: jnp.concatenate([a, d], axis=0), scene, dummy
-    )
-    return jax.tree_util.tree_map(lambda a: a[idx], ext)
 
 
 def max_tile_count(scene: GaussianScene, view: jnp.ndarray, tiles: int) -> int:
