@@ -71,11 +71,12 @@ def main():
         step = make_frame_train_step(opt, width=args.res, height=args.res,
                                      tiles=args.tiles, capacity=cap, mesh=mesh)
         st = init_state(fresh_noisy(), opt)
-        st, l = step(st, cam.view_matrix, o, dirs, target)
+        st, l, overflow = step(st, cam.view_matrix, o, dirs, target)
         float(l)
+        assert int(overflow) == 0, f"capacity {cap} overflowed ({int(overflow)} tiles)"
         t0 = time.perf_counter()
         for _ in range(args.steps):
-            st, l = step(st, cam.view_matrix, o, dirs, target)
+            st, l, overflow = step(st, cam.view_matrix, o, dirs, target)
         float(l)
         return (time.perf_counter() - t0) / args.steps
 

@@ -1,9 +1,13 @@
-"""Config sweep for the headline bench: tiles / block sizes / rb / erf.
+"""Config sweep for the headline bench: scene x tiles x scheduler x blocks.
 
-Same protocol as bench.py (cube.obj orbit, 256x256, pipelined dispatch,
-single end fetch); prints one line per config. Noise note: a tunneled TPU
-occasionally stalls for seconds — each config runs twice and we keep the
-better (min) average.
+Same protocol as bench.py (orbit, 256x256, pipelined dispatch, single end
+fetch); prints one line per config. Covers the teapot (the north-star scene,
+BASELINE.md) as well as the cube, and sweeps the bucketed scheduler's
+pb/qb/dense_frac — the analog of the reference's tiling analysis
+(thesis main.tex:1765-1771). Noise note: a tunneled TPU occasionally stalls
+for seconds — each config runs twice and we keep the better (min) average.
+
+Usage: python scripts/sweep_bench.py [cube|teapot|both] [--fwdbwd]
 """
 
 import os
@@ -18,10 +22,13 @@ import jax.numpy as jnp
 from sgrt_tpu.models.gaussians import scene_from_obj
 from sgrt_tpu.ops.frame import probe_buckets, probe_capacity, render_orbit_frame
 
-CUBE = "/root/reference/test-objects/cube.obj"
+OBJS = {
+    "cube": "/root/reference/test-objects/cube.obj",
+    "teapot": "/root/reference/test-objects/teapot.obj",
+}
 
 
-def measure(frame, frames=100):
+def measure(frame, frames=50):
     angs = jnp.arange(frames, dtype=jnp.float32) * (360.0 / frames)
     float(jnp.sum(frame(angs[0])))
     best = float("inf")
@@ -35,18 +42,18 @@ def measure(frame, frames=100):
     return best
 
 
-def main():
-    scene = scene_from_obj(CUBE)
+def sweep_scene(name: str, results: list):
+    scene = scene_from_obj(OBJS[name])
     angles = [0.0, 30.0, 45.0, 60.0, 90.0]
 
-    results = []
     for tiles in (8, 16, 32):
         cap = max(64, int(probe_capacity(scene, angles, -4.0, 1.0, tiles) * 1.3))
-        bucket = probe_buckets(scene, angles, -4.0, 1.0, tiles, margin=1.3)
-        for cfg_name, kw in (
-            ("bucketed", dict(bucket_cfg=bucket)),
-            ("plain", dict()),
-        ):
+        cfgs = [("plain", dict())]
+        for frac in (0.0625, 0.125, 0.25):
+            bucket = probe_buckets(scene, angles, -4.0, 1.0, tiles,
+                                   margin=1.3, dense_frac=frac)
+            cfgs.append((f"bucket{frac}", dict(bucket_cfg=bucket)))
+        for cfg_name, kw in cfgs:
             def frame(a, kw=kw, tiles=tiles, cap=cap):
                 img, _ = render_orbit_frame(
                     scene, a, -4.0, 1.0, width=256, height=256, tiles=tiles,
@@ -55,15 +62,27 @@ def main():
             try:
                 avg = measure(frame)
             except Exception as e:  # noqa: BLE001
-                print(f"tiles={tiles:3d} {cfg_name:9s} FAILED: {e}")
+                print(f"{name:7s} tiles={tiles:3d} {cfg_name:12s} FAILED: "
+                      f"{type(e).__name__}: {str(e)[:100]}", flush=True)
                 continue
             rate = 256 * 256 / avg
-            results.append((rate, tiles, cfg_name))
-            print(f"tiles={tiles:3d} {cfg_name:9s} cap={cap:4d} "
+            results.append((rate, name, tiles, cfg_name))
+            print(f"{name:7s} tiles={tiles:3d} {cfg_name:12s} cap={cap:4d} "
                   f"{avg*1e3:8.3f} ms  {rate/1e6:7.2f} Mrays/s", flush=True)
 
-    results.sort(reverse=True)
-    print("BEST:", results[0])
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    names = list(OBJS) if which == "both" else [which]
+    results = []
+    for name in names:
+        sweep_scene(name, results)
+    if results:
+        results.sort(reverse=True)
+        print("BEST:", results[0])
+    else:
+        print("no config succeeded")
+        return 1
 
 
 if __name__ == "__main__":

@@ -102,7 +102,7 @@ def main(argv=None) -> int:
     for frame in range(1, args.frames + 1):
         angle = args.initial_rotation + (frame - 1) * angle_change
         t0 = time.perf_counter()
-        img, max_count = render_orbit_frame(
+        img, overflow = render_orbit_frame(
             scene,
             angle,
             args.camera_offset,
@@ -119,10 +119,10 @@ def main(argv=None) -> int:
         img_np = np.asarray(img)
         dt = (time.perf_counter() - t0) * 1000.0
 
-        if use_tiling and int(max_count) > capacity:
+        if use_tiling and int(overflow) > 0:
             print(
-                f"warning: tile capacity {capacity} overflowed ({int(max_count)}); "
-                "pass --capacity",
+                f"warning: tile capacity {capacity} overflowed on "
+                f"{int(overflow)} tiles (Gaussians dropped); pass --capacity",
                 file=sys.stderr,
             )
 

@@ -88,9 +88,14 @@ def main(argv=None) -> int:
         v = i % args.views
         cam = cams[v]
         o, dirs = cam.rays()
-        state, loss = step(state, cam.view_matrix, o, dirs, targets[v])
+        state, loss, overflow = step(state, cam.view_matrix, o, dirs,
+                                     targets[v])
         if (i + 1) % max(args.steps // 10, 1) == 0:
             print(f"step {i+1:5d}  view {v}  loss {float(loss):.3e}")
+            if int(overflow):
+                print(f"warning: step {i+1}: {int(overflow)} tiles over "
+                      "capacity (gradient mass dropped) — raise capacity/"
+                      "margin")
         if mgr is not None and (i + 1) % args.checkpoint_every == 0:
             save_fit(mgr, i + 1, state)
     dt = time.perf_counter() - t0

@@ -67,12 +67,15 @@ def render_orbit_frame(
     erf_name: str = "as5",
     bucket_cfg=None,
 ):
-    """One full frame → (image (H,W,3), max_tile_count (scalar)).
+    """One full frame → (image (H,W,3), overflow (scalar int32)).
 
-    max_tile_count lets callers detect capacity overflow without a second
-    pass; it is 0 for the untiled path. backend="pallas" routes the hot
-    erf reduction through the fused Pallas kernel (ops.pallas_kernel);
-    "xla" uses the pure-jnp formulation (ops.render).
+    overflow counts tiles whose true member count exceeded their capacity
+    (Gaussians silently dropped) — 0 means the frame is exact. It is always
+    0 for the untiled path. The reference never truncates (per-tile
+    std::vector, rt.cpp:64), so a nonzero overflow is a sizing error the
+    caller must surface. backend="pallas" routes the hot erf reduction
+    through the fused Pallas kernel (ops.pallas_kernel); "xla" uses the
+    pure-jnp formulation (ops.render).
     """
     cam = orbit_camera(angle_deg, offset, focal_length, width, height)
     o, dirs = cam.rays()
@@ -89,10 +92,10 @@ def render_orbit_frame(
         from sgrt_tpu.ops.scheduler import render_tiles_bucketed
 
         d = _tile_rays(dirs, height, width, tiles)
-        colors, counts = render_tiles_bucketed(
+        colors, counts, overflow = render_tiles_bucketed(
             scene, cam.view_matrix, o, d, bucket_cfg, erf_name=erf_name,
             tiles=tiles)
-        return _untile_image(colors, height, width, tiles), jnp.max(counts)
+        return _untile_image(colors, height, width, tiles), overflow
 
     if backend == "pallas":
         from sgrt_tpu.ops.pallas_kernel import _block_sizes, render_tiles_pallas
@@ -105,7 +108,8 @@ def render_orbit_frame(
         d = _tile_rays(dirs, height, width, tiles)
         colors = render_tiles_pallas(tiled, o, d, counts, pb=pb, qb=qb,
                                      erf_name=erf_name)
-        return _untile_image(colors, height, width, tiles), jnp.max(counts)
+        overflow = jnp.sum(counts > capacity).astype(jnp.int32)
+        return _untile_image(colors, height, width, tiles), overflow
 
     # Static normalization: capacity must divide evenly into q-blocks.
     qb = min(q_block, capacity)
@@ -125,7 +129,8 @@ def render_orbit_frame(
         lambda a: a.reshape(t2 // tb, tb, *a.shape[1:]), (tiled, d)
     )
     colors = jax.lax.map(jax.vmap(one_tile), chunked).reshape(t2, -1, 3)
-    return _untile_image(colors, height, width, tiles), jnp.max(counts)
+    overflow = jnp.sum(counts > capacity).astype(jnp.int32)
+    return _untile_image(colors, height, width, tiles), overflow
 
 
 @functools.partial(jax.jit, static_argnames=("tiles",))

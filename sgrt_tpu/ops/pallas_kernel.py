@@ -558,8 +558,11 @@ def tw_pallas(mu_bar, coeff, sigma, inv, counts=None, *, rb: int = 128,
                          f"(rb={rb}, rb_bwd={rb_bwd}, pb={pb}, qb={qb})")
     if counts is None:
         counts = jnp.full((b,), n, jnp.int32)
+    # clamp: a count past the padded capacity would loop the kernel off the
+    # end of the array (callers detect overflow via the unclamped counts)
+    counts = jnp.minimum(counts.astype(jnp.int32), n)
     op = _make_tw_op(rb, pb, qb, rb_bwd, erf_name, interpret)
-    return op(mu_bar, coeff, sigma, inv, counts.astype(jnp.int32))
+    return op(mu_bar, coeff, sigma, inv, counts)
 
 
 
@@ -698,8 +701,9 @@ def colors_pallas(mu_bar, coeff, sigma, inv, albedo, counts=None, *,
                          f"(rb={rb}, rb_bwd={rb_bwd}, pb={pb}, qb={qb})")
     if counts is None:
         counts = jnp.full((b,), n, jnp.int32)
+    counts = jnp.minimum(counts.astype(jnp.int32), n)  # see tw_pallas
     op = _make_color_op(rb, pb, qb, rb_bwd, erf_name, interpret)
-    return op(mu_bar, coeff, sigma, inv, albedo, counts.astype(jnp.int32))
+    return op(mu_bar, coeff, sigma, inv, albedo, counts)
 
 
 # ---------------------------------------------------------------------------
@@ -1159,5 +1163,6 @@ def render_fused(scene_oc, sigma, mag, albedo, dirs_t, counts=None, *,
                          f"(rb={rb}, rb_bwd={rb_bwd}, pb={pb}, qb={qb})")
     if counts is None:
         counts = jnp.full((b,), n, jnp.int32)
+    counts = jnp.minimum(counts.astype(jnp.int32), n)  # see tw_pallas
     op = _make_fused_op(rb, pb, qb, rb_bwd, erf_name, interpret)
-    return op(scene_oc, sigma, mag, albedo, dirs_t, counts.astype(jnp.int32))
+    return op(scene_oc, sigma, mag, albedo, dirs_t, counts)

@@ -25,6 +25,7 @@ on the host (the analog of sizing `capacity` with probe_capacity).
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple
 
 import jax
@@ -93,18 +94,29 @@ def render_tiles_bucketed(scene: GaussianScene, view, o, tile_dirs,
                           tiles: int | None = None, rb: int = 128,
                           pb: int | None = None, qb: int | None = None):
     """Two-bucket tiled render: tile_dirs (T2, P, 3) → (colors (T2, P, 3),
-    counts (T2,)). Differentiable w.r.t. the scene (the bucket gathers
-    transpose to scatter-adds). pb/qb default per-bucket via _block_sizes."""
+    counts (T2,), overflow (scalar int32 — tiles whose true count exceeds
+    their bucket capacity; 0 means nothing was truncated)). Differentiable
+    w.r.t. the scene (the bucket gathers transpose to scatter-adds). pb/qb
+    default per-bucket via _block_sizes."""
     from sgrt_tpu.ops.pallas_kernel import _block_sizes, render_tiles_pallas
 
     t2 = tile_dirs.shape[0]
     tiles = tiles if tiles is not None else int(round(t2 ** 0.5))
-    # round capacities so each bucket's Gaussian axis divides into blocks
-    pb_d, qb_d = _block_sizes(cfg.cap_dense) if pb is None else (pb, qb)
-    pb_s, qb_s = _block_sizes(cfg.cap_sparse) if pb is None else (pb, qb)
-    cfg = cfg.round_to(max(pb_d, qb_d), max(pb_s, qb_s))
+    # round capacities so each bucket's Gaussian axis divides into blocks;
+    # pb/qb overrides resolve independently (defaults fill whichever is None)
+    dp_d, dq_d = _block_sizes(cfg.cap_dense)
+    dp_s, dq_s = _block_sizes(cfg.cap_sparse)
+    pb_d = dp_d if pb is None else pb
+    qb_d = dq_d if qb is None else qb
+    pb_s = dp_s if pb is None else pb
+    qb_s = dq_s if qb is None else qb
+    # lcm, not max: with custom pb/qb where neither divides the other,
+    # rounding to max would leave a capacity the kernel rejects
+    cfg = cfg.round_to(math.lcm(pb_d, qb_d), math.lcm(pb_s, qb_s))
     dense_ids, idx_d, sparse_ids, idx_s, counts = bucketed_tile_indices(
         scene, view, tiles, cfg)
+    overflow = (jnp.sum(counts[sparse_ids] > cfg.cap_sparse)
+                + jnp.sum(counts[dense_ids] > cfg.cap_dense)).astype(jnp.int32)
 
     colors_s = render_tiles_pallas(
         gather_tiles(scene, idx_s), o, tile_dirs[sparse_ids],
@@ -118,4 +130,4 @@ def render_tiles_bucketed(scene: GaussianScene, view, o, tile_dirs,
             gather_tiles(scene, idx_d), o, tile_dirs[dense_ids],
             counts[dense_ids], rb=rb, pb=pb_d, qb=qb_d, erf_name=erf_name)
         colors = colors.at[dense_ids].set(colors_d)
-    return colors, counts
+    return colors, counts, overflow

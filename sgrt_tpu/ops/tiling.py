@@ -136,7 +136,10 @@ def _onehot_gather(packed: jnp.ndarray, flat_idx: jnp.ndarray,
 
     def chunk_gather(ix):
         oh = (ix[:, None] == cols[None, :]).astype(packed.dtype)
-        return jnp.dot(oh, packed, preferred_element_type=packed.dtype)
+        # explicit HIGHEST: bit-exactness must not depend on the ambient
+        # default_matmul_precision (a bf16 context would corrupt the gather)
+        return jnp.dot(oh, packed, preferred_element_type=packed.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
 
     rows_per_chunk = max(1, max_elems // m)
     if r <= rows_per_chunk:

