@@ -78,6 +78,10 @@ def _radiance_block(o, dirs, scene: GaussianScene, q_block: int) -> jnp.ndarray:
     coeff_b = coeff.T.reshape(nq, q_block, -1)
     inv_b = inv.reshape(nq, q_block)
 
+    # checkpoint: without it, autodiff of the scan saves the (R, Qb, 5N)
+    # pairwise intermediate for every step (tens of GB at frame sizes);
+    # rematerializing it in the backward keeps residuals at (R, 5N).
+    @jax.checkpoint
     def body(acc, blk):
         mu_q, co_q, inv_q = blk                     # (Qb,R), (Qb,R), (Qb,)
         # (R, Qb, 5N): the only pairwise intermediate.

@@ -108,6 +108,83 @@ def init_state(scene: GaussianScene, optimizer: optax.GradientTransformation) ->
     return FitState(scene, optimizer.init(scene), jnp.zeros((), jnp.int32))
 
 
+def make_frame_value_and_grad(
+    *,
+    width: int = 256,
+    height: int = 256,
+    tiles: int = 16,
+    capacity: int = 128,
+    backend: str = "pallas",
+    erf_name: str = "as5",
+    trainable: tuple[str, ...] = ("mu", "sigma", "magnitude", "albedo"),
+    bucket_cfg=None,
+):
+    """Single-device frame loss+gradient: vg(scene, view, o, dirs, target)
+    → ((loss, overflow), grads). The gradient core of make_frame_train_step,
+    exposed so callers (verify_tpu, tests) can compare raw gradients across
+    backends without an optimizer in the loop. Unjitted; jit at the call
+    site."""
+    from sgrt_tpu.ops.pallas_kernel import _block_sizes
+    from sgrt_tpu.ops.render import _tile_rays
+    from sgrt_tpu.ops.tiling import gather_tiles, tile_indices
+
+    pb, qb = _block_sizes(capacity)
+    capacity = -(-capacity // qb) * qb
+
+    def masked_scene(scene):
+        fields = {
+            f: (getattr(scene, f) if f in trainable
+                else jax.lax.stop_gradient(getattr(scene, f)))
+            for f in ("mu", "sigma", "magnitude", "albedo")
+        }
+        return GaussianScene(**fields)
+
+    def tile_render(scene, idx, counts, o, d):
+        tiled = gather_tiles(scene, idx)
+        if backend == "pallas":
+            from sgrt_tpu.ops.pallas_kernel import render_tiles_pallas
+
+            return render_tiles_pallas(tiled, o, d, counts, pb=pb, qb=qb,
+                                       erf_name=erf_name)
+        from sgrt_tpu.ops.render import _radiance_block
+
+        return jax.vmap(
+            lambda ts, td: _radiance_block(o, td, ts, min(128, capacity))
+        )(tiled, d)
+
+    if bucket_cfg is not None and backend == "pallas":
+        from sgrt_tpu.ops.scheduler import render_tiles_bucketed
+
+        def vg(scene, view, o, dirs, target):
+            d = _tile_rays(dirs, height, width, tiles)
+            target_t = _tile_rays(target.reshape(-1, 3), height, width, tiles)
+
+            def f(s):
+                colors, _, overflow = render_tiles_bucketed(
+                    masked_scene(s), view, o, d, bucket_cfg,
+                    erf_name=erf_name, tiles=tiles)
+                return jnp.mean((colors - target_t) ** 2), overflow
+
+            return jax.value_and_grad(f, has_aux=True)(scene)
+
+        return vg
+
+    def vg(scene, view, o, dirs, target):
+        idx, counts = tile_indices(scene, view, tiles, capacity)
+        overflow = jnp.sum(counts > capacity).astype(jnp.int32)
+        d = _tile_rays(dirs, height, width, tiles)
+        target_t = _tile_rays(target.reshape(-1, 3), height, width, tiles)
+
+        def f(s):
+            colors = tile_render(masked_scene(s), idx, counts, o, d)
+            return jnp.mean((colors - target_t) ** 2)
+
+        loss, grads = jax.value_and_grad(f)(scene)
+        return (loss, overflow), grads
+
+    return vg
+
+
 def make_frame_train_step(
     optimizer: optax.GradientTransformation,
     *,
@@ -152,6 +229,24 @@ def make_frame_train_step(
     capacity = -(-capacity // qb) * qb
     t2 = tiles * tiles
 
+    if mesh is None:
+        frame_vg = make_frame_value_and_grad(
+            width=width, height=height, tiles=tiles, capacity=capacity,
+            backend=backend, erf_name=erf_name, trainable=trainable,
+            bucket_cfg=bucket_cfg,
+        )
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state: FitState, view, o, dirs, target):
+            (loss, overflow), grads = frame_vg(state.scene, view, o, dirs,
+                                               target)
+            updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.scene)
+            scene = optax.apply_updates(state.scene, updates)
+            return FitState(scene, opt_state, state.step + 1), loss, overflow
+
+        return step
+
     def tile_render(scene, idx, counts, o, d):
         tiled = gather_tiles(scene, idx)
         if backend == "pallas":
@@ -178,49 +273,19 @@ def make_frame_train_step(
 
         return jax.value_and_grad(f)(scene)
 
-    if mesh is not None:
-        @functools.partial(
-            jax.shard_map,
-            mesh=mesh,
-            in_specs=(P(), P(RAYS_AXIS), P(RAYS_AXIS), P(), P(RAYS_AXIS),
-                      P(RAYS_AXIS)),
-            out_specs=(P(), P()),
-            # pallas_call outputs carry no varying-mesh-axes metadata
-            check_vma=False,
-        )
-        def sharded_vg(scene, idx, counts, o, d, target_t):
-            loss, grads = local_vg(scene, idx, counts, o, d, target_t)
-            return (jax.lax.pmean(loss, RAYS_AXIS),
-                    jax.lax.pmean(grads, RAYS_AXIS))
-
-        vg = sharded_vg
-    else:
-        vg = local_vg
-
-    if bucket_cfg is not None and mesh is None and backend == "pallas":
-        from sgrt_tpu.ops.scheduler import render_tiles_bucketed
-
-        def bucketed_vg(scene, view, o, d, target_t):
-            def f(s):
-                colors, _, overflow = render_tiles_bucketed(
-                    masked_scene(s), view, o, d, bucket_cfg,
-                    erf_name=erf_name, tiles=tiles)
-                return jnp.mean((colors - target_t) ** 2), overflow
-
-            return jax.value_and_grad(f, has_aux=True)(scene)
-
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def bucketed_step(state: FitState, view, o, dirs, target):
-            d = _tile_rays(dirs, height, width, tiles)
-            target_t = _tile_rays(target.reshape(-1, 3), height, width, tiles)
-            (loss, overflow), grads = bucketed_vg(state.scene, view, o, d,
-                                                  target_t)
-            updates, opt_state = optimizer.update(grads, state.opt_state,
-                                                  state.scene)
-            scene = optax.apply_updates(state.scene, updates)
-            return FitState(scene, opt_state, state.step + 1), loss, overflow
-
-        return bucketed_step
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(RAYS_AXIS), P(RAYS_AXIS), P(), P(RAYS_AXIS),
+                  P(RAYS_AXIS)),
+        out_specs=(P(), P()),
+        # pallas_call outputs carry no varying-mesh-axes metadata
+        check_vma=False,
+    )
+    def sharded_vg(scene, idx, counts, o, d, target_t):
+        loss, grads = local_vg(scene, idx, counts, o, d, target_t)
+        return (jax.lax.pmean(loss, RAYS_AXIS),
+                jax.lax.pmean(grads, RAYS_AXIS))
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: FitState, view, o, dirs, target):
@@ -228,7 +293,7 @@ def make_frame_train_step(
         overflow = jnp.sum(counts > capacity).astype(jnp.int32)
         d = _tile_rays(dirs, height, width, tiles)
         target_t = _tile_rays(target.reshape(-1, 3), height, width, tiles)
-        loss, grads = vg(state.scene, idx, counts, o, d, target_t)
+        loss, grads = sharded_vg(state.scene, idx, counts, o, d, target_t)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.scene)
         scene = optax.apply_updates(state.scene, updates)
         return FitState(scene, opt_state, state.step + 1), loss, overflow
