@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--erf", default="as5",
                    choices=("exact", "as5", "as3", "taylor", "spline", "spline_mirror"),
                    help="erf implementation (as3 = the reference's production A&S choice).")
+    p.add_argument("--exp", default="exact",
+                   choices=("exact", "fast", "spline"),
+                   help="exp implementation for the transmittance exponentials "
+                        "(fast = the reference's Schraudolph fast_exp; pallas "
+                        "backend only).")
     p.add_argument("--gif", default=None,
                    help="Write all frames as an animated GIF to <file> (gen-gif.sh analog).")
     return p
@@ -114,6 +119,7 @@ def main(argv=None) -> int:
             use_tiling=use_tiling,
             backend=args.backend,
             erf_name=args.erf,
+            exp_name=args.exp,
         )
         # host fetch = the only reliable device sync on a tunneled TPU
         img_np = np.asarray(img)

@@ -65,10 +65,19 @@ def erf_as3(x: jnp.ndarray) -> jnp.ndarray:
     """Abramowitz & Stegun 7.1.25 (3-term), |err| <= 2.5e-5 — the
     reference's production erf (abramowitz_stegun_erf, approx.cpp:90-110;
     2.47 cycles/value SIMD, thesis main.tex:1804-1818)."""
+    e, _ = erf_as3_and_gauss(x)
+    return e
+
+
+def erf_as3_and_gauss(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(erf_as3(x), exp(-x^2)) sharing the single exp (see
+    erf_as5_and_gauss) — used by gradient kernels running the production
+    3-term A&S erf."""
     a = jnp.abs(x)
     t = 1.0 / (1.0 + 0.47047 * a)
     poly = t * (0.3480242 + t * (-0.0958798 + t * 0.7478556))
-    return jnp.sign(x) * (1.0 - poly * jnp.exp(-x * x))
+    g = jnp.exp(-x * x)
+    return jnp.sign(x) * (1.0 - poly * g), g
 
 
 def erf_taylor(x: jnp.ndarray) -> jnp.ndarray:
@@ -106,6 +115,11 @@ def _np_erf_ref(x: np.ndarray) -> np.ndarray:
 _ERF_SEGS = 8
 _ERF_HI = 4.0
 _ERF_COEF = _fit_segments(_np_erf_ref, 0.0, _ERF_HI, _ERF_SEGS, 3)
+# Full-domain fit for the non-mirrored variant: 16 segments over [-4, 4],
+# evaluated on raw x (the reference's spline_erf, approx.cpp:9-41, covers
+# the whole domain without the odd-symmetry trick — twice the table size
+# and branch count of the mirror variant, approx.cpp:45-69).
+_ERF_FULL_COEF = _fit_segments(_np_erf_ref, -_ERF_HI, _ERF_HI, 2 * _ERF_SEGS, 3)
 _EXP_SEGS = 16
 _EXP_LO = -16.0
 _EXP_COEF = _fit_segments(np.exp, _EXP_LO, 0.0, _EXP_SEGS, 3)
@@ -137,8 +151,13 @@ def erf_spline_mirror(x: jnp.ndarray) -> jnp.ndarray:
 
 def erf_spline(x: jnp.ndarray) -> jnp.ndarray:
     """Non-mirrored spline variant (reference spline_erf, approx.cpp:9-41):
-    same segments evaluated on raw x over [-4,4] by odd extension of the fit."""
-    return erf_spline_mirror(x)  # fit is exactly odd; one implementation suffices
+    a direct piecewise-cubic fit over the full [-4, 4] domain evaluated on
+    raw x — no abs/sign mirroring, 2x the segment count (and cost) of
+    erf_spline_mirror, saturating to ±1 outside the domain. Distinct
+    cost/accuracy point, as in the reference (thesis main.tex:1804-1818:
+    spline 4.20 vs spline-mirror 3.37 cycles/value)."""
+    val = _eval_segments(x, _ERF_FULL_COEF, -_ERF_HI, _ERF_HI)
+    return jnp.where(x <= -_ERF_HI, -1.0, jnp.where(x >= _ERF_HI, 1.0, val))
 
 
 # ---------------------------------------------------------------------------
@@ -193,6 +212,7 @@ EXP_IMPLS = {
 # (erf, exp(-x^2)) fused pairs for gradient kernels.
 ERF_AND_GAUSS_IMPLS = {
     "as5": erf_as5_and_gauss,
+    "as3": erf_as3_and_gauss,
     "exact": lambda x: (jax.lax.erf(x), jnp.exp(-x * x)),
 }
 

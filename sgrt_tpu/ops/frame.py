@@ -47,7 +47,7 @@ def orbit_camera(angle_deg, offset, focal_length, width: int, height: int) -> Ca
     jax.jit,
     static_argnames=("width", "height", "tiles", "capacity", "q_block",
                      "ray_block", "tile_batch", "use_tiling", "backend",
-                     "erf_name", "bucket_cfg"),
+                     "erf_name", "exp_name", "bucket_cfg"),
 )
 def render_orbit_frame(
     scene: GaussianScene,
@@ -65,6 +65,7 @@ def render_orbit_frame(
     use_tiling: bool = True,
     backend: str = "xla",
     erf_name: str = "as5",
+    exp_name: str = "exact",
     bucket_cfg=None,
 ):
     """One full frame → (image (H,W,3), overflow (scalar int32)).
@@ -83,7 +84,8 @@ def render_orbit_frame(
         if backend == "pallas":
             from sgrt_tpu.ops.pallas_kernel import render_rays_pallas_impl
 
-            colors = render_rays_pallas_impl(o, dirs, scene, erf_name=erf_name)
+            colors = render_rays_pallas_impl(o, dirs, scene, erf_name=erf_name,
+                                             exp_name=exp_name)
         else:
             colors = render_rays_impl(o, dirs, scene, q_block, ray_block)
         return colors.reshape(height, width, 3), jnp.zeros((), jnp.int32)
@@ -94,7 +96,7 @@ def render_orbit_frame(
         d = _tile_rays(dirs, height, width, tiles)
         colors, counts, overflow = render_tiles_bucketed(
             scene, cam.view_matrix, o, d, bucket_cfg, erf_name=erf_name,
-            tiles=tiles)
+            exp_name=exp_name, tiles=tiles)
         return _untile_image(colors, height, width, tiles), overflow
 
     if backend == "pallas":
@@ -107,7 +109,7 @@ def render_orbit_frame(
         tiled = gather_tiles(scene, idx)
         d = _tile_rays(dirs, height, width, tiles)
         colors = render_tiles_pallas(tiled, o, d, counts, pb=pb, qb=qb,
-                                     erf_name=erf_name)
+                                     erf_name=erf_name, exp_name=exp_name)
         overflow = jnp.sum(counts > capacity).astype(jnp.int32)
         return _untile_image(colors, height, width, tiles), overflow
 

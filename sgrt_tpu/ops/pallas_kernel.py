@@ -55,7 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sgrt_tpu.models.camera import Camera
 from sgrt_tpu.models.gaussians import GaussianScene, pad_scene
-from sgrt_tpu.ops.approx import ERF_AND_GAUSS_IMPLS, ERF_IMPLS
+from sgrt_tpu.ops.approx import ERF_AND_GAUSS_IMPLS, ERF_IMPLS, EXP_IMPLS
 from sgrt_tpu.ops.reference import INV_SQRT_2_PI, SQRT_2
 
 K_TAPS = (-4.0, -3.0, -2.0, -1.0, 0.0)
@@ -88,7 +88,7 @@ def _ones_row_sum(x):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(counts_ref, mu_full_ref, co_full_ref, sig_ref, inv_ref,
-                tw_ref, *, pb: int, qb: int, erf):
+                tw_ref, *, pb: int, qb: int, erf, exp):
     count = counts_ref[pl.program_id(0)]
     j = pl.program_id(2)
     rb = mu_full_ref.shape[2]
@@ -123,14 +123,14 @@ def _fwd_kernel(counts_ref, mu_full_ref, co_full_ref, sig_ref, inv_ref,
 
         acc0 = tuple(jnp.zeros((pb, rb), jnp.float32) for _ in K_TAPS)
         accs = jax.lax.fori_loop(0, nq, body, acc0)
-        tw = sum(w * jnp.exp(base - acc) for w, acc in zip(K_WEIGHTS, accs))
+        tw = sum(w * exp(base - acc) for w, acc in zip(K_WEIGHTS, accs))
         tw_ref[0] = tw
 
 
 
 
 def _fwd_color_kernel(counts_ref, mu_full_ref, co_full_ref, sig_ref, inv_ref,
-                      alb_ref, col_ref, *, pb: int, qb: int, erf):
+                      alb_ref, col_ref, *, pb: int, qb: int, erf, exp):
     """Color-fused forward: computes tw for one p block, then accumulates
     colors(c,r) += sum_p [sqrt(2/pi)*coeff*tw](p,r) * albedo(p,c) into a
     (3, RB) output revisited across the p grid dimension — the final albedo
@@ -171,7 +171,7 @@ def _fwd_color_kernel(counts_ref, mu_full_ref, co_full_ref, sig_ref, inv_ref,
 
         acc0 = tuple(jnp.zeros((pb, rb), jnp.float32) for _ in K_TAPS)
         accs = jax.lax.fori_loop(0, nq, body, acc0)
-        tw = sum(w * jnp.exp(base - acc) for w, acc in zip(K_WEIGHTS, accs))
+        tw = sum(w * exp(base - acc) for w, acc in zip(K_WEIGHTS, accs))
         w_p = _SQRT_2_PI * co_p * tw                             # (PB, RB)
         col_ref[0] += jax.lax.dot_general(
             alb_p, w_p, (((0,), (0,)), ((), ())),
@@ -185,7 +185,7 @@ def _fwd_color_kernel(counts_ref, mu_full_ref, co_full_ref, sig_ref, inv_ref,
 def _bwd_kernel(counts_ref, mu_ref, co_ref, sig_ref, inv_ref, g_ref,
                 dmu_ref, dco_ref, dsig_ref, dinv_ref,
                 dmu_s, dco_s, dsig_s, dinv_s, db_s,
-                *, pb: int, qb: int, erf, erf_and_gauss):
+                *, pb: int, qb: int, erf, exp, erf_and_gauss):
     count = counts_ref[pl.program_id(0)]
     mu = mu_ref[0]                          # (N, RB)
     co = co_ref[0]
@@ -225,7 +225,7 @@ def _bwd_kernel(counts_ref, mu_ref, co_ref, sig_ref, inv_ref, g_ref,
 
         acc0 = tuple(jnp.zeros((pb, rb), jnp.float32) for _ in K_TAPS)
         accs = jax.lax.fori_loop(0, nq_dyn, qa_body, acc0)
-        T = tuple(w * jnp.exp(base - acc) for w, acc in zip(K_WEIGHTS, accs))
+        T = tuple(w * exp(base - acc) for w, acc in zip(K_WEIGHTS, accs))
         tw_p = sum(T)
         db_s[:] += _ones_row_sum(g_p * tw_p)                     # (1, RB)
         G = tuple(g_p * t for t in T)                            # dacc_k = -G_k
@@ -301,7 +301,7 @@ def _bwd_color_kernel(counts_ref, mu_ref, co_ref, sig_ref, inv_ref, alb_ref,
                       dcol_ref,
                       dmu_ref, dco_ref, dsig_ref, dinv_ref, dalb_ref,
                       dmu_s, dco_s, dsig_s, dinv_s, db_s, dalb_s,
-                      *, pb: int, qb: int, erf, erf_and_gauss):
+                      *, pb: int, qb: int, erf, exp, erf_and_gauss):
     """Color-fused backward: the tw cotangent g(p,r) = sqrt(2/pi) * coeff *
     (albedo @ dcolors) is generated in-kernel from the (3, RB) color
     cotangent; adds the weights-path dcoeff term and dalbedo on top of the
@@ -350,7 +350,7 @@ def _bwd_color_kernel(counts_ref, mu_ref, co_ref, sig_ref, inv_ref, alb_ref,
 
         acc0 = tuple(jnp.zeros((pb, rb), jnp.float32) for _ in K_TAPS)
         accs = jax.lax.fori_loop(0, nq_dyn, qa_body, acc0)
-        T = tuple(w * jnp.exp(base - acc) for w, acc in zip(K_WEIGHTS, accs))
+        T = tuple(w * exp(base - acc) for w, acc in zip(K_WEIGHTS, accs))
         tw_p = sum(T)
         db_s[:] += _ones_row_sum(g_p * tw_p)                     # (1, RB)
         G = tuple(g_p * t for t in T)                            # dacc_k = -G_k
@@ -431,10 +431,11 @@ def _bwd_color_kernel(counts_ref, mu_ref, co_ref, sig_ref, inv_ref, alb_ref,
 # ---------------------------------------------------------------------------
 
 def _fwd_call(mu_bar, coeff, sigma, inv, counts, *, rb, pb, qb, erf_name,
-              interpret):
+              exp_name, interpret):
     b, n, r = mu_bar.shape
     erf = ERF_IMPLS[erf_name]
-    kernel = functools.partial(_fwd_kernel, pb=pb, qb=qb, erf=erf)
+    exp = EXP_IMPLS[exp_name]
+    kernel = functools.partial(_fwd_kernel, pb=pb, qb=qb, erf=erf, exp=exp)
     n_erf = 6 * b * r * n * n  # 5 taps + base, per (ray, p, q) at capacity
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -461,11 +462,12 @@ def _fwd_call(mu_bar, coeff, sigma, inv, counts, *, rb, pb, qb, erf_name,
 
 
 def _bwd_call(mu_bar, coeff, sigma, inv, counts, g, *, rb, pb, qb, erf_name,
-              interpret):
+              exp_name, interpret):
     b, n, r = mu_bar.shape
     erf = ERF_IMPLS[erf_name]
+    exp = EXP_IMPLS[exp_name]
     eag = ERF_AND_GAUSS_IMPLS.get(erf_name, ERF_AND_GAUSS_IMPLS["as5"])
-    kernel = functools.partial(_bwd_kernel, pb=pb, qb=qb, erf=erf,
+    kernel = functools.partial(_bwd_kernel, pb=pb, qb=qb, erf=erf, exp=exp,
                                erf_and_gauss=eag)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -509,7 +511,7 @@ def _bwd_call(mu_bar, coeff, sigma, inv, counts, g, *, rb, pb, qb, erf_name,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_tw_op(rb, pb, qb, rb_bwd, erf_name, interpret):
+def _make_tw_op(rb, pb, qb, rb_bwd, erf_name, exp_name, interpret):
     """Cached custom-VJP op for a (block config, erf impl) pair.
 
     tw_op(mu_bar (B,N,R), coeff (B,N,R), sigma (B,N), inv (B,N),
@@ -519,7 +521,8 @@ def _make_tw_op(rb, pb, qb, rb_bwd, erf_name, interpret):
     @jax.custom_vjp
     def tw_op(mu_bar, coeff, sigma, inv, counts):
         return _fwd_call(mu_bar, coeff, sigma, inv, counts, rb=rb, pb=pb,
-                         qb=qb, erf_name=erf_name, interpret=interpret)
+                         qb=qb, erf_name=erf_name, exp_name=exp_name,
+                         interpret=interpret)
 
     def fwd(mu_bar, coeff, sigma, inv, counts):
         return tw_op(mu_bar, coeff, sigma, inv, counts), (
@@ -529,7 +532,7 @@ def _make_tw_op(rb, pb, qb, rb_bwd, erf_name, interpret):
         mu_bar, coeff, sigma, inv, counts = res
         dmu, dco, dsig, dinv = _bwd_call(
             mu_bar, coeff, sigma, inv, counts, g, rb=rb_bwd, pb=pb, qb=qb,
-            erf_name=erf_name, interpret=interpret,
+            erf_name=erf_name, exp_name=exp_name, interpret=interpret,
         )
         dcounts = np.zeros(counts.shape, jax.dtypes.float0)  # int arg
         return dmu, dco, dsig, dinv, dcounts
@@ -540,7 +543,8 @@ def _make_tw_op(rb, pb, qb, rb_bwd, erf_name, interpret):
 
 def tw_pallas(mu_bar, coeff, sigma, inv, counts=None, *, rb: int = 128,
               pb: int = 16, qb: int = 32, rb_bwd: int | None = None,
-              erf_name: str = "as5", interpret: bool | None = None):
+              erf_name: str = "as5", exp_name: str = "exact",
+              interpret: bool | None = None):
     """Transmittance-weight kernel (see module docstring). Gaussian-major
     shapes: mu_bar/coeff (B, N, R); sigma/inv (B, N); counts (B,) int32
     live-prefix lengths (None → all N live) → tw (B, N, R).
@@ -561,17 +565,19 @@ def tw_pallas(mu_bar, coeff, sigma, inv, counts=None, *, rb: int = 128,
     # clamp: a count past the padded capacity would loop the kernel off the
     # end of the array (callers detect overflow via the unclamped counts)
     counts = jnp.minimum(counts.astype(jnp.int32), n)
-    op = _make_tw_op(rb, pb, qb, rb_bwd, erf_name, interpret)
+    op = _make_tw_op(rb, pb, qb, rb_bwd, erf_name, exp_name, interpret)
     return op(mu_bar, coeff, sigma, inv, counts)
 
 
 
 
 def _fwd_color_call(mu_bar, coeff, sigma, inv, albedo, counts, *, rb, pb, qb,
-                    erf_name, interpret):
+                    erf_name, exp_name, interpret):
     b, n, r = mu_bar.shape
     erf = ERF_IMPLS[erf_name]
-    kernel = functools.partial(_fwd_color_kernel, pb=pb, qb=qb, erf=erf)
+    exp = EXP_IMPLS[exp_name]
+    kernel = functools.partial(_fwd_color_kernel, pb=pb, qb=qb, erf=erf,
+                               exp=exp)
     n_erf = 6 * b * r * n * n
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -599,12 +605,13 @@ def _fwd_color_call(mu_bar, coeff, sigma, inv, albedo, counts, *, rb, pb, qb,
 
 
 def _bwd_color_call(mu_bar, coeff, sigma, inv, albedo, counts, dcol, *, rb,
-                    pb, qb, erf_name, interpret):
+                    pb, qb, erf_name, exp_name, interpret):
     b, n, r = mu_bar.shape
     erf = ERF_IMPLS[erf_name]
+    exp = EXP_IMPLS[exp_name]
     eag = ERF_AND_GAUSS_IMPLS.get(erf_name, ERF_AND_GAUSS_IMPLS["as5"])
     kernel = functools.partial(_bwd_color_kernel, pb=pb, qb=qb, erf=erf,
-                               erf_and_gauss=eag)
+                               exp=exp, erf_and_gauss=eag)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, r // rb),
@@ -652,7 +659,7 @@ def _bwd_color_call(mu_bar, coeff, sigma, inv, albedo, counts, dcol, *, rb,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_color_op(rb, pb, qb, rb_bwd, erf_name, interpret):
+def _make_color_op(rb, pb, qb, rb_bwd, erf_name, exp_name, interpret):
     """Cached custom-VJP color op.
 
     color_op(mu_bar (B,N,R), coeff (B,N,R), sigma (B,N), inv (B,N),
@@ -663,7 +670,7 @@ def _make_color_op(rb, pb, qb, rb_bwd, erf_name, interpret):
     def color_op(mu_bar, coeff, sigma, inv, albedo, counts):
         return _fwd_color_call(mu_bar, coeff, sigma, inv, albedo, counts,
                                rb=rb, pb=pb, qb=qb, erf_name=erf_name,
-                               interpret=interpret)
+                               exp_name=exp_name, interpret=interpret)
 
     def fwd(mu_bar, coeff, sigma, inv, albedo, counts):
         return color_op(mu_bar, coeff, sigma, inv, albedo, counts), (
@@ -673,7 +680,7 @@ def _make_color_op(rb, pb, qb, rb_bwd, erf_name, interpret):
         mu_bar, coeff, sigma, inv, albedo, counts = res
         dmu, dco, dsig, dinv, dalb = _bwd_color_call(
             mu_bar, coeff, sigma, inv, albedo, counts, g, rb=rb_bwd, pb=pb,
-            qb=qb, erf_name=erf_name, interpret=interpret,
+            qb=qb, erf_name=erf_name, exp_name=exp_name, interpret=interpret,
         )
         dcounts = np.zeros(counts.shape, jax.dtypes.float0)
         return dmu, dco, dsig, dinv, dalb, dcounts
@@ -685,6 +692,7 @@ def _make_color_op(rb, pb, qb, rb_bwd, erf_name, interpret):
 def colors_pallas(mu_bar, coeff, sigma, inv, albedo, counts=None, *,
                   rb: int = 128, pb: int = 16, qb: int = 32,
                   rb_bwd: int | None = None, erf_name: str = "as5",
+                  exp_name: str = "exact",
                   interpret: bool | None = None):
     """Fully-fused radiance kernel: Gaussian-major inputs (see tw_pallas),
     plus albedo (B, N, 3) → colors (B, 3, R). The albedo matmul and the
@@ -702,7 +710,7 @@ def colors_pallas(mu_bar, coeff, sigma, inv, albedo, counts=None, *,
     if counts is None:
         counts = jnp.full((b,), n, jnp.int32)
     counts = jnp.minimum(counts.astype(jnp.int32), n)  # see tw_pallas
-    op = _make_color_op(rb, pb, qb, rb_bwd, erf_name, interpret)
+    op = _make_color_op(rb, pb, qb, rb_bwd, erf_name, exp_name, interpret)
     return op(mu_bar, coeff, sigma, inv, albedo, counts)
 
 
@@ -742,6 +750,7 @@ def _block_sizes(n: int) -> tuple[int, int]:
 def render_rays_pallas_impl(o, dirs, scene: GaussianScene, *, rb: int = 128,
                             pb: int | None = None, qb: int | None = None,
                             rb_bwd: int | None = None, erf_name: str = "as5",
+                            exp_name: str = "exact",
                             interpret: bool | None = None) -> jnp.ndarray:
     """Pallas-backend render of a flat ray batch: dirs (R,3) → colors (R,3).
     Differentiable via the custom VJP. Unjitted; compose freely."""
@@ -760,13 +769,15 @@ def render_rays_pallas_impl(o, dirs, scene: GaussianScene, *, rb: int = 128,
     colors_t = render_fused(
         oc[None], scene.sigma[None], scene.magnitude[None],
         scene.albedo[None], dirs_p.T[None], counts, rb=rb, pb=pb, qb=qb,
-        rb_bwd=rb_bwd, erf_name=erf_name, interpret=interpret)[0]  # (3, R)
+        rb_bwd=rb_bwd, erf_name=erf_name, exp_name=exp_name,
+        interpret=interpret)[0]  # (3, R)
     return colors_t.T[:r]
 
 
 render_rays_pallas = jax.jit(
     render_rays_pallas_impl,
-    static_argnames=("rb", "pb", "qb", "rb_bwd", "erf_name", "interpret"),
+    static_argnames=("rb", "pb", "qb", "rb_bwd", "erf_name", "exp_name",
+                     "interpret"),
 )
 
 
@@ -781,7 +792,7 @@ def render_pallas(scene: GaussianScene, camera: Camera, origin=None,
 def render_tiles_pallas(tiled_scene: GaussianScene, o, tile_dirs, counts=None,
                         *, rb: int = 128, pb: int | None = None,
                         qb: int | None = None, rb_bwd: int | None = None,
-                        erf_name: str = "as5",
+                        erf_name: str = "as5", exp_name: str = "exact",
                         interpret: bool | None = None) -> jnp.ndarray:
     """Batched per-tile render: tiled_scene leaves (T2, K, ...), tile_dirs
     (T2, P, 3), counts (T2,) live Gaussians per tile → per-tile colors
@@ -799,7 +810,8 @@ def render_tiles_pallas(tiled_scene: GaussianScene, o, tile_dirs, counts=None,
     colors_t = render_fused(
         oc, tiled_scene.sigma, tiled_scene.magnitude, tiled_scene.albedo,
         dirs_t, counts, rb=rb, pb=pb, qb=qb, rb_bwd=rb_bwd,
-        erf_name=erf_name, interpret=interpret)              # (T2, 3, P)
+        erf_name=erf_name, exp_name=exp_name,
+        interpret=interpret)              # (T2, 3, P)
     return jnp.transpose(colors_t, (0, 2, 1))
 
 
@@ -812,7 +824,7 @@ def render_tiles_pallas(tiled_scene: GaussianScene, o, tile_dirs, counts=None,
 _INV_SQRT_2 = 0.7071067811865476
 
 
-def _prep_scratch(oc, sig, mag, d, mb_s, co_s, inv_s):
+def _prep_scratch(oc, sig, mag, d, mb_s, co_s, inv_s, exp=jnp.exp):
     """In-kernel prep: mu_bar, coeff and 1/(sqrt2 sigma) into VMEM scratch
     (inv must live in a ref — Mosaic cannot dynamic-slice values).
 
@@ -824,7 +836,7 @@ def _prep_scratch(oc, sig, mag, d, mb_s, co_s, inv_s):
     ocsq = jnp.sum(oc * oc, axis=1, keepdims=True)               # (N, 1)
     inv2s2 = 1.0 / (2.0 * sig * sig)
     inv = _INV_SQRT_2 / sig
-    e = jnp.exp(-(ocsq - mb * mb) * inv2s2)                      # (N, RB)
+    e = exp(-(ocsq - mb * mb) * inv2s2)                      # (N, RB)
     mb_s[:] = mb
     co_s[:] = (mag * sig * INV_SQRT_2_PI) * e
     inv_s[:] = inv
@@ -832,7 +844,7 @@ def _prep_scratch(oc, sig, mag, d, mb_s, co_s, inv_s):
 
 
 def _fused_fwd_kernel(counts_ref, oc_ref, sig_ref, mag_ref, alb_ref, dirs_ref,
-                      col_ref, mb_s, co_s, inv_s, *, pb: int, qb: int, erf):
+                      col_ref, mb_s, co_s, inv_s, *, pb: int, qb: int, erf, exp):
     count = counts_ref[pl.program_id(0)]
     rb = dirs_ref.shape[2]
     n = oc_ref.shape[1]
@@ -841,7 +853,7 @@ def _fused_fwd_kernel(counts_ref, oc_ref, sig_ref, mag_ref, alb_ref, dirs_ref,
 
     sig = sig_ref[0]                                             # (N, 1)
     _, _, inv, _ = _prep_scratch(oc_ref[0], sig, mag_ref[0], dirs_ref[0],
-                                 mb_s, co_s, inv_s)
+                                 mb_s, co_s, inv_s, exp)
     base = _ones_row_sum(co_s[:] * erf(-mb_s[:] * inv))          # (1, RB)
     col_ref[0] = jnp.zeros((3, rb), jnp.float32)
 
@@ -866,7 +878,7 @@ def _fused_fwd_kernel(counts_ref, oc_ref, sig_ref, mag_ref, alb_ref, dirs_ref,
 
         acc0 = tuple(jnp.zeros((pb, rb), jnp.float32) for _ in K_TAPS)
         accs = jax.lax.fori_loop(0, nq_dyn, q_body, acc0)
-        tw = sum(w * jnp.exp(base - acc) for w, acc in zip(K_WEIGHTS, accs))
+        tw = sum(w * exp(base - acc) for w, acc in zip(K_WEIGHTS, accs))
         w_p = _SQRT_2_PI * co_p * tw
         col_ref[0] += jax.lax.dot_general(
             alb_p, w_p, (((0,), (0,)), ((), ())),
@@ -878,10 +890,10 @@ def _fused_fwd_kernel(counts_ref, oc_ref, sig_ref, mag_ref, alb_ref, dirs_ref,
 
 def _fused_bwd_kernel(counts_ref, oc_ref, sig_ref, mag_ref, alb_ref, dirs_ref,
                       dcol_ref,
-                      doc_ref, dsig_ref, dmag_ref, dalb_ref,
+                      doc_ref, dsig_ref, dmag_ref, dalb_ref, ddirs_ref,
                       mb_s, co_s, inv_s, dmb_s, dco_s, dsig_s, dinv_s, db_s,
                       dalb_s,
-                      *, pb: int, qb: int, erf, erf_and_gauss):
+                      *, pb: int, qb: int, erf, exp, erf_and_gauss):
     count = counts_ref[pl.program_id(0)]
     n = oc_ref.shape[1]
     rb = dirs_ref.shape[2]
@@ -894,7 +906,7 @@ def _fused_bwd_kernel(counts_ref, oc_ref, sig_ref, mag_ref, alb_ref, dirs_ref,
     d = dirs_ref[0]                                              # (3, RB)
     dcol = dcol_ref[0]                                           # (3, RB)
 
-    ocsq, inv2s2, inv, _ = _prep_scratch(oc, sig, mag, d, mb_s, co_s, inv_s)
+    ocsq, inv2s2, inv, _ = _prep_scratch(oc, sig, mag, d, mb_s, co_s, inv_s, exp)
     mb = mb_s[:]
     co = co_s[:]
     e1, g1 = erf_and_gauss(-mb * inv)                            # (N, RB) x2
@@ -930,7 +942,7 @@ def _fused_bwd_kernel(counts_ref, oc_ref, sig_ref, mag_ref, alb_ref, dirs_ref,
 
         acc0 = tuple(jnp.zeros((pb, rb), jnp.float32) for _ in K_TAPS)
         accs = jax.lax.fori_loop(0, nq_dyn, qa_body, acc0)
-        T = tuple(w * jnp.exp(base - acc) for w, acc in zip(K_WEIGHTS, accs))
+        T = tuple(w * exp(base - acc) for w, acc in zip(K_WEIGHTS, accs))
         tw_p = sum(T)
         db_s[:] += _ones_row_sum(g_p * tw_p)
         G = tuple(g_p * t for t in T)
@@ -1002,6 +1014,12 @@ def _fused_bwd_kernel(counts_ref, oc_ref, sig_ref, mag_ref, alb_ref, dirs_ref,
     doc = (jax.lax.dot_general(dmb_s[:], d, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
            + 2.0 * oc * docsq)                                    # (N, 3)
+    # ray-direction gradient: mb = oc @ d ⇒ dd = oc^T @ dmb. Dead rows
+    # (>= count) have dmb = 0, so padding contributes nothing. Enables
+    # camera optimization (NEW vs the forward-only reference).
+    ddirs_ref[0] = jax.lax.dot_general(
+        oc, dmb_s[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                       # (3, RB)
 
     i = pl.program_id(1)
 
@@ -1019,11 +1037,13 @@ def _fused_bwd_kernel(counts_ref, oc_ref, sig_ref, mag_ref, alb_ref, dirs_ref,
 
 
 def _fused_fwd_call(oc, sigma, mag, albedo, dirs_t, counts, *, rb, pb, qb,
-                    erf_name, interpret):
+                    erf_name, exp_name, interpret):
     b, n, _ = oc.shape
     r = dirs_t.shape[2]
     erf = ERF_IMPLS[erf_name]
-    kernel = functools.partial(_fused_fwd_kernel, pb=pb, qb=qb, erf=erf)
+    exp = EXP_IMPLS[exp_name]
+    kernel = functools.partial(_fused_fwd_kernel, pb=pb, qb=qb, erf=erf,
+                               exp=exp)
     n_erf = 6 * b * r * n * n
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1056,13 +1076,14 @@ def _fused_fwd_call(oc, sigma, mag, albedo, dirs_t, counts, *, rb, pb, qb,
 
 
 def _fused_bwd_call(oc, sigma, mag, albedo, dirs_t, counts, dcol, *, rb, pb,
-                    qb, erf_name, interpret):
+                    qb, erf_name, exp_name, interpret):
     b, n, _ = oc.shape
     r = dirs_t.shape[2]
     erf = ERF_IMPLS[erf_name]
+    exp = EXP_IMPLS[exp_name]
     eag = ERF_AND_GAUSS_IMPLS.get(erf_name, ERF_AND_GAUSS_IMPLS["as5"])
     kernel = functools.partial(_fused_bwd_kernel, pb=pb, qb=qb, erf=erf,
-                               erf_and_gauss=eag)
+                               exp=exp, erf_and_gauss=eag)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, r // rb),
@@ -1079,6 +1100,7 @@ def _fused_bwd_call(oc, sigma, mag, albedo, dirs_t, counts, dcol, *, rb, pb,
             pl.BlockSpec((1, n, 1), lambda bb, i, c: (bb, 0, 0)),
             pl.BlockSpec((1, n, 1), lambda bb, i, c: (bb, 0, 0)),
             pl.BlockSpec((1, n, 3), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, 3, rb), lambda bb, i, c: (bb, 0, i)),
         ],
         scratch_shapes=[
             pltpu.VMEM((n, rb), jnp.float32),   # mb
@@ -1100,17 +1122,18 @@ def _fused_bwd_call(oc, sigma, mag, albedo, dirs_t, counts, dcol, *, rb, pb,
             jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
             jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
             jax.ShapeDtypeStruct((b, n, 3), jnp.float32),
+            jax.ShapeDtypeStruct((b, 3, r), jnp.float32),
         ],
         compiler_params=_VMEM_LIMIT,
         interpret=interpret,
     )
-    doc, dsig, dmag, dalb = call(counts, oc, sigma[:, :, None],
-                                 mag[:, :, None], albedo, dirs_t, dcol)
-    return doc, dsig[:, :, 0], dmag[:, :, 0], dalb
+    doc, dsig, dmag, dalb, ddirs = call(counts, oc, sigma[:, :, None],
+                                        mag[:, :, None], albedo, dirs_t, dcol)
+    return doc, dsig[:, :, 0], dmag[:, :, 0], dalb, ddirs
 
 
 @functools.lru_cache(maxsize=None)
-def _make_fused_op(rb, pb, qb, rb_bwd, erf_name, interpret):
+def _make_fused_op(rb, pb, qb, rb_bwd, erf_name, exp_name, interpret):
     """Fully-fused custom-VJP op.
 
     fused_op(oc (B,N,3) = mu - o, sigma (B,N), magnitude (B,N),
@@ -1122,7 +1145,7 @@ def _make_fused_op(rb, pb, qb, rb_bwd, erf_name, interpret):
     def fused_op(oc, sigma, mag, albedo, dirs_t, counts):
         return _fused_fwd_call(oc, sigma, mag, albedo, dirs_t, counts,
                                rb=rb, pb=pb, qb=qb, erf_name=erf_name,
-                               interpret=interpret)
+                               exp_name=exp_name, interpret=interpret)
 
     def fwd(oc, sigma, mag, albedo, dirs_t, counts):
         return fused_op(oc, sigma, mag, albedo, dirs_t, counts), (
@@ -1130,11 +1153,10 @@ def _make_fused_op(rb, pb, qb, rb_bwd, erf_name, interpret):
 
     def bwd(res, g):
         oc, sigma, mag, albedo, dirs_t, counts = res
-        doc, dsig, dmag, dalb = _fused_bwd_call(
+        doc, dsig, dmag, dalb, ddirs = _fused_bwd_call(
             oc, sigma, mag, albedo, dirs_t, counts, g, rb=rb_bwd, pb=pb,
-            qb=qb, erf_name=erf_name, interpret=interpret,
+            qb=qb, erf_name=erf_name, exp_name=exp_name, interpret=interpret,
         )
-        ddirs = jnp.zeros_like(dirs_t)  # camera rays are not optimized
         dcounts = np.zeros(counts.shape, jax.dtypes.float0)
         return doc, dsig, dmag, dalb, ddirs, dcounts
 
@@ -1145,11 +1167,13 @@ def _make_fused_op(rb, pb, qb, rb_bwd, erf_name, interpret):
 def render_fused(scene_oc, sigma, mag, albedo, dirs_t, counts=None, *,
                  rb: int = 128, pb: int = 16, qb: int = 32,
                  rb_bwd: int | None = None, erf_name: str = "as5",
+                 exp_name: str = "exact",
                  interpret: bool | None = None):
     """Fully-fused batched render: oc (B,N,3), sigma/mag (B,N), albedo
     (B,N,3), dirs_t (B,3,R) → colors (B,3,R). No (B,N,R) intermediate in
     HBM; backward returns scene-shaped gradients only. Differentiable via
-    the in-kernel analytic VJP (not differentiable w.r.t. ray directions)."""
+    the in-kernel analytic VJP, including w.r.t. ray directions (camera
+    optimization — NEW vs the forward-only reference)."""
     if interpret is None:
         interpret = _auto_interpret()
     b, n, _ = scene_oc.shape
@@ -1164,5 +1188,5 @@ def render_fused(scene_oc, sigma, mag, albedo, dirs_t, counts=None, *,
     if counts is None:
         counts = jnp.full((b,), n, jnp.int32)
     counts = jnp.minimum(counts.astype(jnp.int32), n)  # see tw_pallas
-    op = _make_fused_op(rb, pb, qb, rb_bwd, erf_name, interpret)
+    op = _make_fused_op(rb, pb, qb, rb_bwd, erf_name, exp_name, interpret)
     return op(scene_oc, sigma, mag, albedo, dirs_t, counts)

@@ -91,6 +91,7 @@ def bucketed_tile_indices(scene: GaussianScene, view: jnp.ndarray,
 
 def render_tiles_bucketed(scene: GaussianScene, view, o, tile_dirs,
                           cfg: BucketConfig, erf_name: str = "as5",
+                          exp_name: str = "exact",
                           tiles: int | None = None, rb: int = 128,
                           pb: int | None = None, qb: int | None = None):
     """Two-bucket tiled render: tile_dirs (T2, P, 3) → (colors (T2, P, 3),
@@ -120,7 +121,8 @@ def render_tiles_bucketed(scene: GaussianScene, view, o, tile_dirs,
 
     colors_s = render_tiles_pallas(
         gather_tiles(scene, idx_s), o, tile_dirs[sparse_ids],
-        counts[sparse_ids], rb=rb, pb=pb_s, qb=qb_s, erf_name=erf_name)
+        counts[sparse_ids], rb=rb, pb=pb_s, qb=qb_s, erf_name=erf_name,
+        exp_name=exp_name)
 
     colors = jnp.zeros((t2,) + colors_s.shape[1:], colors_s.dtype)
     colors = colors.at[sparse_ids].set(colors_s)
@@ -128,6 +130,7 @@ def render_tiles_bucketed(scene: GaussianScene, view, o, tile_dirs,
     if cfg.n_dense > 0:
         colors_d = render_tiles_pallas(
             gather_tiles(scene, idx_d), o, tile_dirs[dense_ids],
-            counts[dense_ids], rb=rb, pb=pb_d, qb=qb_d, erf_name=erf_name)
+            counts[dense_ids], rb=rb, pb=pb_d, qb=qb_d, erf_name=erf_name,
+            exp_name=exp_name)
         colors = colors.at[dense_ids].set(colors_d)
     return colors, counts, overflow

@@ -116,6 +116,7 @@ def make_frame_value_and_grad(
     capacity: int = 128,
     backend: str = "pallas",
     erf_name: str = "as5",
+    exp_name: str = "exact",
     trainable: tuple[str, ...] = ("mu", "sigma", "magnitude", "albedo"),
     bucket_cfg=None,
 ):
@@ -145,7 +146,7 @@ def make_frame_value_and_grad(
             from sgrt_tpu.ops.pallas_kernel import render_tiles_pallas
 
             return render_tiles_pallas(tiled, o, d, counts, pb=pb, qb=qb,
-                                       erf_name=erf_name)
+                                       erf_name=erf_name, exp_name=exp_name)
         from sgrt_tpu.ops.render import _radiance_block
 
         return jax.vmap(
@@ -162,7 +163,7 @@ def make_frame_value_and_grad(
             def f(s):
                 colors, _, overflow = render_tiles_bucketed(
                     masked_scene(s), view, o, d, bucket_cfg,
-                    erf_name=erf_name, tiles=tiles)
+                    erf_name=erf_name, exp_name=exp_name, tiles=tiles)
                 return jnp.mean((colors - target_t) ** 2), overflow
 
             return jax.value_and_grad(f, has_aux=True)(scene)
@@ -195,6 +196,7 @@ def make_frame_train_step(
     mesh: Mesh | None = None,
     backend: str = "pallas",
     erf_name: str = "as5",
+    exp_name: str = "exact",
     trainable: tuple[str, ...] = ("mu", "sigma", "magnitude", "albedo"),
     bucket_cfg=None,
 ):
@@ -232,8 +234,8 @@ def make_frame_train_step(
     if mesh is None:
         frame_vg = make_frame_value_and_grad(
             width=width, height=height, tiles=tiles, capacity=capacity,
-            backend=backend, erf_name=erf_name, trainable=trainable,
-            bucket_cfg=bucket_cfg,
+            backend=backend, erf_name=erf_name, exp_name=exp_name,
+            trainable=trainable, bucket_cfg=bucket_cfg,
         )
 
         @functools.partial(jax.jit, donate_argnums=(0,))
@@ -253,7 +255,7 @@ def make_frame_train_step(
             from sgrt_tpu.ops.pallas_kernel import render_tiles_pallas
 
             return render_tiles_pallas(tiled, o, d, counts, pb=pb, qb=qb,
-                                       erf_name=erf_name)
+                                       erf_name=erf_name, exp_name=exp_name)
         from sgrt_tpu.ops.render import _radiance_block
 
         return jax.vmap(lambda ts, td: _radiance_block(o, td, ts, min(128, capacity)))(tiled, d)

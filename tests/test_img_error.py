@@ -46,6 +46,49 @@ def test_image_mse_per_stack(oracle, erf_name, mse_bound):
     assert mse <= mse_bound, f"{erf_name}: MSE {mse:.3e} > {mse_bound:.0e}"
 
 
+@pytest.mark.parametrize(
+    "erf_name,exp_name,mse_bound",
+    [
+        ("as3", "fast", 1e-4),    # the reference's "MINE" stack
+        ("as5", "fast", 1e-4),    # fast_exp dominates the error (~3% rel)
+        ("as5", "spline", 1e-6),
+    ],
+)
+def test_image_mse_exp_stacks(oracle, erf_name, exp_name, mse_bound):
+    """The exp axis end-to-end (img-error.cpp's FOG/MINE stack rows): the
+    transmittance exponential runs the chosen approximation in-kernel."""
+    scene, o, dirs, ref = oracle
+    img = np.asarray(
+        render_rays_pallas_impl(o, dirs, scene, erf_name=erf_name,
+                                exp_name=exp_name, interpret=True)
+    )
+    mse = float(np.mean((img - ref) ** 2))
+    assert mse <= mse_bound, (
+        f"{erf_name}+{exp_name}: MSE {mse:.3e} > {mse_bound:.0e}")
+    # and the stack must not be trivially broken (image is non-zero)
+    assert float(np.abs(img).max()) > 0.01
+
+
+def test_exp_stack_differentiable(oracle):
+    """Gradients flow through the approximated-exp kernel (backward pass
+    recomputes T with the same exp choice)."""
+    import jax
+    import jax.numpy as jnp
+
+    scene, o, dirs, ref = oracle
+
+    def loss(s):
+        img = render_rays_pallas_impl(o, dirs, s, erf_name="as3",
+                                      exp_name="fast", interpret=True)
+        return jnp.mean((img - ref) ** 2)
+
+    g = jax.grad(loss)(scene)
+    for f in ("mu", "sigma", "magnitude", "albedo"):
+        arr = np.asarray(getattr(g, f))
+        assert np.all(np.isfinite(arr)), f
+        assert np.abs(arr).max() > 0, f
+
+
 def test_u32_packing_matches_reference_quantization(oracle):
     """Pixel packing must follow rt.h:239-243: clamp-by-min(x,1), *255,
     truncate, alpha 0xFF, BGRA order."""

@@ -89,6 +89,122 @@ def test_tw_pallas_counts_prefix_semantics():
     )
 
 
+def test_pallas_ray_direction_gradient(small_setup):
+    """ddirs from the fused kernel's analytic VJP vs autodiff of the XLA
+    path — camera optimization support (r1 VERDICT: was a silent zero)."""
+    scene, o, dirs = small_setup
+
+    def loss_pal(d):
+        return jnp.sum(render_rays_pallas_impl(o, d, scene, interpret=True) ** 2)
+
+    def loss_jnp(d):
+        return jnp.sum(render_rays_impl(o, d, scene, q_block=64, ray_block=128) ** 2)
+
+    gp = np.asarray(jax.grad(loss_pal)(dirs))
+    gj = np.asarray(jax.grad(loss_jnp)(dirs))
+    scale = max(np.abs(gj).max(), 1e-8)
+    assert np.abs(gp).max() > 0  # actually flows
+    np.testing.assert_allclose(gp / scale, gj / scale, atol=5e-5)
+
+
+def test_pallas_finite_difference_gradients():
+    """jax.test_util.check_grads (finite differences) on render_fused —
+    SURVEY §4(c). Tiny scene keeps the f64-free FD noise manageable."""
+    from jax.test_util import check_grads
+
+    from sgrt_tpu.ops.pallas_kernel import render_fused
+
+    rng = np.random.default_rng(7)
+    n, r = 16, 128
+    oc = jnp.asarray(rng.normal(0, 1.5, (1, n, 3)), jnp.float32)
+    sigma = jnp.asarray(rng.uniform(0.3, 0.6, (1, n)), jnp.float32)
+    mag = jnp.asarray(rng.uniform(0.5, 1.5, (1, n)), jnp.float32)
+    albedo = jnp.asarray(rng.uniform(0, 1, (1, n, 3)), jnp.float32)
+    d = rng.normal(0, 1, (r, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    dirs_t = jnp.asarray(d.T[None], jnp.float32)
+
+    def f(oc_, sigma_, mag_, albedo_, dirs_):
+        return render_fused(oc_, sigma_, mag_, albedo_, dirs_, None,
+                            pb=8, qb=8, interpret=True)
+
+    check_grads(f, (oc, sigma, mag, albedo, dirs_t), order=1,
+                modes=("rev",), atol=2e-2, rtol=2e-2)
+
+
+def test_pallas_counts_bounded_backward_matches_truncated():
+    """Gradient parity of the counts-bounded backward (dynamic np/nq trip
+    counts) against physically truncating the batch to `count` Gaussians —
+    the backward analog of test_tw_pallas_counts_prefix_semantics."""
+    from sgrt_tpu.models.gaussians import GaussianScene, pad_scene
+    from sgrt_tpu.ops.pallas_kernel import render_fused
+
+    rng = np.random.default_rng(11)
+    cap, live, r = 64, 37, 128
+    mu = rng.normal(0, 1.0, (live, 3)).astype(np.float32)
+    scene = GaussianScene(
+        mu=jnp.asarray(mu),
+        sigma=jnp.asarray(rng.uniform(0.3, 0.6, live), jnp.float32),
+        magnitude=jnp.asarray(rng.uniform(0.5, 1.5, live), jnp.float32),
+        albedo=jnp.asarray(rng.uniform(0, 1, (live, 3)), jnp.float32),
+    )
+    padded = pad_scene(scene, cap)  # inert dummies up to cap
+    d = rng.normal(0, 1, (r, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    dirs_t = jnp.asarray(d.T[None], jnp.float32)
+    counts = jnp.asarray([live], jnp.int32)
+
+    def loss_counted(s):
+        c = render_fused(s.mu[None], s.sigma[None], s.magnitude[None],
+                         s.albedo[None], dirs_t, counts, pb=8, qb=8,
+                         interpret=True)
+        return jnp.sum(c ** 2)
+
+    def loss_full(s):
+        # same padded scene, no counts: full-capacity static loops
+        c = render_fused(s.mu[None], s.sigma[None], s.magnitude[None],
+                         s.albedo[None], dirs_t, None, pb=8, qb=8,
+                         interpret=True)
+        return jnp.sum(c ** 2)
+
+    g_c = jax.grad(loss_counted)(padded)
+    g_f = jax.grad(loss_full)(padded)
+    for f in ("mu", "sigma", "magnitude", "albedo"):
+        a = np.asarray(getattr(g_c, f))[:live]
+        b = np.asarray(getattr(g_f, f))[:live]
+        scale = max(np.abs(b).max(), 1e-8)
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-5,
+                                   err_msg=f)
+
+
+def test_frame_loss_finite_difference_gradients():
+    """check_grads through the full tiled frame loss (tiling + gather +
+    fused kernel + scatter-add transpose). Tile membership (tile_indices)
+    is a non-differentiable index computation, so it is frozen outside the
+    differentiated function — exactly how make_frame_value_and_grad
+    composes it."""
+    from jax.test_util import check_grads
+
+    from sgrt_tpu.ops.frame import orbit_camera
+    from sgrt_tpu.ops.pallas_kernel import render_tiles_pallas
+    from sgrt_tpu.ops.render import _tile_rays
+    from sgrt_tpu.ops.tiling import gather_tiles, tile_indices
+
+    scene = grid_scene(4)
+    cam = orbit_camera(20.0, -4.0, 1.0, 32, 32)
+    o, dirs = cam.rays()
+    idx, counts = tile_indices(scene, cam.view_matrix, 2, 16)
+    d = _tile_rays(dirs, 32, 32, 2)
+    target = jnp.zeros((4, 256, 3), jnp.float32)
+
+    def loss(s):
+        colors = render_tiles_pallas(gather_tiles(s, idx), o, d, counts,
+                                     pb=8, qb=8, interpret=True)
+        return jnp.mean((colors - target) ** 2)
+
+    check_grads(loss, (scene,), order=1, modes=("rev",), atol=2e-2, rtol=2e-2)
+
+
 def test_pallas_tiled_frame_matches_xla_tiled_frame():
     from sgrt_tpu.ops.frame import render_orbit_frame
 
