@@ -18,6 +18,13 @@ import sys
 import time
 
 
+def _tile_spec(v: str):
+    if "x" in v:
+        tx, ty = v.split("x")
+        return int(tx), int(ty)
+    return int(v)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m sgrt_tpu",
@@ -36,8 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quiet", "-q", action="store_true",
                    help="Render without displaying (prints TIME/AVG. TIME).")
     p.add_argument("--frames", type=int, default=1, help="Render <count> frames.")
-    p.add_argument("--tiles", type=int, default=16,
-                   help="Split the image into <count> tiles per axis.")
+    p.add_argument("--tiles", type=_tile_spec, default=16,
+                   help="Tiles per axis: a count (square grid) or TXxTY "
+                        "(rectangular, e.g. 16x32).")
     p.add_argument("--rotation", "-r", type=float, default=360.0,
                    help="Total viewing-angle change distributed over --frames.")
     p.add_argument("--initial-rotation", "-i", type=float, default=0.0,
@@ -81,9 +89,12 @@ def main(argv=None) -> int:
     else:
         scene = grid_scene(args.grid if args.grid is not None else 4)
 
+    from sgrt_tpu.ops.tiling import as_grid
+
     use_tiling = args.mode >= 5
-    if use_tiling and (width % args.tiles or height % args.tiles):
-        print(f"error: {width}x{height} not divisible into {args.tiles} tiles", file=sys.stderr)
+    tx, ty = as_grid(args.tiles)
+    if use_tiling and (width % tx or height % ty):
+        print(f"error: {width}x{height} not divisible into {tx}x{ty} tiles", file=sys.stderr)
         return 1
 
     capacity = args.capacity

@@ -96,7 +96,7 @@ def render_orbit_frame(
         d = _tile_rays(dirs, height, width, tiles)
         colors, counts, overflow = render_tiles_bucketed(
             scene, cam.view_matrix, o, d, bucket_cfg, erf_name=erf_name,
-            exp_name=exp_name, tiles=tiles)
+            exp_name=exp_name, tiles=tiles, focal_length=focal_length)
         return _untile_image(colors, height, width, tiles), overflow
 
     if backend == "pallas":
@@ -105,7 +105,8 @@ def render_orbit_frame(
         # Round capacity up so the Gaussian axis divides into kernel blocks.
         pb, qb = _block_sizes(capacity)
         capacity = -(-capacity // qb) * qb
-        idx, counts = tile_indices(scene, cam.view_matrix, tiles, capacity)
+        idx, counts = tile_indices(scene, cam.view_matrix, tiles, capacity,
+                                   focal_length=focal_length)
         tiled = gather_tiles(scene, idx)
         d = _tile_rays(dirs, height, width, tiles)
         colors = render_tiles_pallas(tiled, o, d, counts, pb=pb, qb=qb,
@@ -116,10 +117,14 @@ def render_orbit_frame(
     # Static normalization: capacity must divide evenly into q-blocks.
     qb = min(q_block, capacity)
     capacity = -(-capacity // qb) * qb
-    idx, counts = tile_indices(scene, cam.view_matrix, tiles, capacity)
+    idx, counts = tile_indices(scene, cam.view_matrix, tiles, capacity,
+                               focal_length=focal_length)
     tiled = gather_tiles(scene, idx)
     d = _tile_rays(dirs, height, width, tiles)
-    t2 = tiles * tiles
+    from sgrt_tpu.ops.tiling import as_grid
+
+    tx_, ty_ = as_grid(tiles)
+    t2 = tx_ * ty_
 
     tb = min(tile_batch, t2)
 
@@ -136,13 +141,14 @@ def render_orbit_frame(
 
 
 @functools.partial(jax.jit, static_argnames=("tiles",))
-def _probe_one(scene: GaussianScene, angle, offset, focal_length, tiles: int):
+def _probe_one(scene: GaussianScene, angle, offset, focal_length, tiles):
     cam = orbit_camera(angle, offset, focal_length, 8, 8)
-    member = tile_membership(scene, cam.view_matrix, tiles)
+    member = tile_membership(scene, cam.view_matrix, tiles,
+                             focal_length=focal_length)
     return jnp.max(jnp.sum(member, axis=-1))
 
 
-def probe_capacity(scene: GaussianScene, angles, offset, focal_length, tiles: int):
+def probe_capacity(scene: GaussianScene, angles, offset, focal_length, tiles):
     """Max per-tile Gaussian count over sample orbit angles, to size
     `capacity` for a whole orbit. One compile, len(angles) tiny device calls
     (vmapping the camera chain triggers a pathological TPU compile)."""
@@ -153,7 +159,7 @@ def probe_capacity(scene: GaussianScene, angles, offset, focal_length, tiles: in
 
 
 def probe_buckets(scene: GaussianScene, angles, offset, focal_length,
-                  tiles: int, margin: float = 1.2, dense_frac: float = 0.125):
+                  tiles, margin: float = 1.2, dense_frac: float = 0.125):
     """Host helper: size a BucketConfig over sample orbit angles (the
     bucketed analog of probe_capacity)."""
     from sgrt_tpu.ops.scheduler import probe_bucket_config
@@ -163,4 +169,5 @@ def probe_buckets(scene: GaussianScene, angles, offset, focal_length,
         for a in angles
     ]
     return probe_bucket_config(scene, views, tiles, margin=margin,
-                               dense_frac=dense_frac)
+                               dense_frac=dense_frac,
+                               focal_length=focal_length)

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.scipy.special import erf
 
 from sgrt_tpu.models.camera import Camera
@@ -38,7 +39,9 @@ SQRT_2_PI = 0.7978845608028654  # sqrt(2/pi)
 INV_SQRT_2_PI = 1.0 / SQRT_2_PI  # = sqrt(pi/2)
 SQRT_2 = 1.4142135623730951
 
-K_TAPS = jnp.arange(-4.0, 1.0)  # k in {-4,...,0}
+# numpy, not jnp: module import must not initialize the XLA backend
+# (jax.distributed.initialize must run before any backend use)
+K_TAPS = np.arange(-4.0, 1.0, dtype=np.float32)  # k in {-4,...,0}
 
 
 def _per_gaussian_terms(o: jnp.ndarray, n: jnp.ndarray, scene: GaussianScene):

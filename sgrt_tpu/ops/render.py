@@ -30,14 +30,16 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.scipy.special import erf
 
 from sgrt_tpu.models.camera import Camera
 from sgrt_tpu.models.gaussians import GaussianScene, pad_scene
 from sgrt_tpu.ops.reference import INV_SQRT_2_PI, K_TAPS, SQRT_2
 
-# w_k = exp(-k^2/2) for k in {-4..0} — the collapsed pdf factors.
-K_WEIGHTS = jnp.exp(-(K_TAPS**2) / 2.0)
+# w_k = exp(-k^2/2) for k in {-4..0} — the collapsed pdf factors
+# (numpy at import: no backend init before jax.distributed.initialize).
+K_WEIGHTS = np.exp(-(K_TAPS**2) / 2.0).astype(np.float32)
 
 
 def _ray_gaussian_terms(o, dirs, scene: GaussianScene):
@@ -122,19 +124,25 @@ def render(scene: GaussianScene, camera: Camera, origin=None,
     return colors.reshape(camera.height, camera.width, 3)
 
 
-def _tile_rays(dirs: jnp.ndarray, h: int, w: int, tiles: int) -> jnp.ndarray:
-    """(H*W, 3) row-major rays → (T^2, P, 3) grouped by image tile, tile
-    order row-major (ty, tx) to match ops.tiling."""
-    th, tw = h // tiles, w // tiles
-    d = dirs.reshape(tiles, th, tiles, tw, 3)
-    return d.transpose(0, 2, 1, 3, 4).reshape(tiles * tiles, th * tw, 3)
+def _tile_rays(dirs: jnp.ndarray, h: int, w: int, tiles) -> jnp.ndarray:
+    """(H*W, 3) row-major rays → (tx*ty, P, 3) grouped by image tile, tile
+    order row-major (ty, tx) to match ops.tiling. `tiles`: int or (tx, ty)."""
+    from sgrt_tpu.ops.tiling import as_grid
+
+    tx, ty = as_grid(tiles)
+    th, tw = h // ty, w // tx
+    d = dirs.reshape(ty, th, tx, tw, 3)
+    return d.transpose(0, 2, 1, 3, 4).reshape(tx * ty, th * tw, 3)
 
 
-def _untile_image(colors: jnp.ndarray, h: int, w: int, tiles: int) -> jnp.ndarray:
-    """(T^2, P, 3) per-tile colors → (H, W, 3). Analog of the reference's
+def _untile_image(colors: jnp.ndarray, h: int, w: int, tiles) -> jnp.ndarray:
+    """(tx*ty, P, 3) per-tile colors → (H, W, 3). Analog of the reference's
     tile-buffer scatter-back (rt.h:388-399)."""
-    th, tw = h // tiles, w // tiles
-    c = colors.reshape(tiles, tiles, th, tw, 3)
+    from sgrt_tpu.ops.tiling import as_grid
+
+    tx, ty = as_grid(tiles)
+    th, tw = h // ty, w // tx
+    c = colors.reshape(ty, tx, th, tw, 3)
     return c.transpose(0, 2, 1, 3, 4).reshape(h, w, 3)
 
 
@@ -156,7 +164,10 @@ def _render_tiled_jit(scene, view, o, dirs, h, w, tiles, capacity, q_block, tile
 
     # Chunked map over tiles: vmap within a chunk (parallel lanes), lax.map
     # across chunks (bounds the pairwise intermediate).
-    t2 = tiles * tiles
+    from sgrt_tpu.ops.tiling import as_grid
+
+    tx, ty = as_grid(tiles)
+    t2 = tx * ty
     tb = min(tile_batch, t2)
     chunked = jax.tree_util.tree_map(lambda a: a.reshape(t2 // tb, tb, *a.shape[1:]), (tiled, d))
     colors = jax.lax.map(jax.vmap(one_tile), chunked)
@@ -173,9 +184,12 @@ def render_tiled(scene: GaussianScene, camera: Camera, origin=None, tiles: int =
     every frame, main.cpp:263). `capacity` is the static per-tile Gaussian
     budget; None picks it from this frame's true max count (host sync).
     """
+    from sgrt_tpu.ops.tiling import as_grid
+
     h, w = camera.height, camera.width
-    if h % tiles or w % tiles:
-        raise ValueError(f"image {w}x{h} not divisible into {tiles}x{tiles} tiles")
+    tx, ty = as_grid(tiles)
+    if h % ty or w % tx:
+        raise ValueError(f"image {w}x{h} not divisible into {tx}x{ty} tiles")
     o, dirs = camera.rays(origin)
     if capacity is None:
         from sgrt_tpu.ops.tiling import max_tile_count

@@ -48,18 +48,22 @@ class BucketConfig(NamedTuple):
         )
 
 
-def probe_bucket_config(scene: GaussianScene, views, tiles: int,
+def probe_bucket_config(scene: GaussianScene, views, tiles,
                         margin: float = 1.2, dense_frac: float = 0.125,
-                        ) -> BucketConfig:
+                        focal_length=1.0) -> BucketConfig:
     """Host-side sizing: over sample view matrices, take the worst-case
     per-tile counts; the dense bucket holds the top `dense_frac` of tiles,
     sparse capacity covers the largest count that falls outside it."""
-    t2 = tiles * tiles
+    from sgrt_tpu.ops.tiling import as_grid
+
+    tx, ty = as_grid(tiles)
+    t2 = tx * ty
     n_dense = max(1, int(t2 * dense_frac))
     worst_sorted = None
     for view in views:
         counts = jnp.sort(
-            jnp.sum(tile_membership(scene, view, tiles), axis=-1)
+            jnp.sum(tile_membership(scene, view, tiles,
+                                    focal_length=focal_length), axis=-1)
         )[::-1]
         worst_sorted = counts if worst_sorted is None else jnp.maximum(
             worst_sorted, counts)
@@ -72,14 +76,15 @@ def probe_bucket_config(scene: GaussianScene, views, tiles: int,
 
 
 def bucketed_tile_indices(scene: GaussianScene, view: jnp.ndarray,
-                          tiles: int, cfg: BucketConfig):
+                          tiles, cfg: BucketConfig, focal_length=1.0):
     """Per-bucket compacted Gaussian indices.
 
     Returns (dense_ids (D,), idx_dense (D, cap_dense), sparse_ids (S,),
     idx_sparse (S, cap_sparse), counts (T2,)). All shapes static; bucket
     membership (argsort of counts) is per-frame data.
     """
-    member = tile_membership(scene, view, tiles)           # (T2, N)
+    member = tile_membership(scene, view, tiles,
+                             focal_length=focal_length)    # (T2, N)
     counts = jnp.sum(member, axis=-1).astype(jnp.int32)
     order = jnp.argsort(-counts)                           # dense first
     dense_ids = order[: cfg.n_dense]
@@ -92,8 +97,9 @@ def bucketed_tile_indices(scene: GaussianScene, view: jnp.ndarray,
 def render_tiles_bucketed(scene: GaussianScene, view, o, tile_dirs,
                           cfg: BucketConfig, erf_name: str = "as5",
                           exp_name: str = "exact",
-                          tiles: int | None = None, rb: int = 128,
-                          pb: int | None = None, qb: int | None = None):
+                          tiles=None, rb: int = 128,
+                          pb: int | None = None, qb: int | None = None,
+                          focal_length=1.0):
     """Two-bucket tiled render: tile_dirs (T2, P, 3) → (colors (T2, P, 3),
     counts (T2,), overflow (scalar int32 — tiles whose true count exceeds
     their bucket capacity; 0 means nothing was truncated)). Differentiable
@@ -102,7 +108,8 @@ def render_tiles_bucketed(scene: GaussianScene, view, o, tile_dirs,
     from sgrt_tpu.ops.pallas_kernel import _block_sizes, render_tiles_pallas
 
     t2 = tile_dirs.shape[0]
-    tiles = tiles if tiles is not None else int(round(t2 ** 0.5))
+    if tiles is None:
+        tiles = int(round(t2 ** 0.5))  # square-grid default
     # round capacities so each bucket's Gaussian axis divides into blocks;
     # pb/qb overrides resolve independently (defaults fill whichever is None)
     dp_d, dq_d = _block_sizes(cfg.cap_dense)
@@ -115,7 +122,7 @@ def render_tiles_bucketed(scene: GaussianScene, view, o, tile_dirs,
     # rounding to max would leave a capacity the kernel rejects
     cfg = cfg.round_to(math.lcm(pb_d, qb_d), math.lcm(pb_s, qb_s))
     dense_ids, idx_d, sparse_ids, idx_s, counts = bucketed_tile_indices(
-        scene, view, tiles, cfg)
+        scene, view, tiles, cfg, focal_length=focal_length)
     overflow = (jnp.sum(counts[sparse_ids] > cfg.cap_sparse)
                 + jnp.sum(counts[dense_ids] > cfg.cap_dense)).astype(jnp.int32)
 

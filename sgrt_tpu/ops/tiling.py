@@ -33,53 +33,93 @@ import jax.numpy as jnp
 from sgrt_tpu.models.gaussians import GaussianScene
 
 
-def project_gaussians(scene: GaussianScene, view: jnp.ndarray):
+def as_grid(tiles) -> tuple[int, int]:
+    """Normalize a tile spec to (tx, ty): int T → square T x T grid;
+    a (tx, ty) pair is tx columns x ty rows. Rectangular grids let a tile's
+    ray count match the 128-wide VPU lane axis exactly (e.g. 16x32 tiles on
+    a 256^2 image → 16x8-pixel tiles = 128 rays) — the reference's tiles
+    are always square (rt.cpp:47-49), but nothing in the math requires it."""
+    if isinstance(tiles, int):
+        return tiles, tiles
+    tx, ty = tiles
+    return int(tx), int(ty)
+
+
+def project_gaussians(scene: GaussianScene, view: jnp.ndarray,
+                      focal_length=None):
     """Project Gaussian centers through the view matrix.
 
     Returns (mu2 (N,2) NDC centers, sigma_p (N,) projected stddevs,
     valid (N,) bool). Invalid entries get mu2=+inf so they never pass the
     membership box test.
+
+    focal_length=None reproduces the reference's view-frame projection
+    (rt.cpp:35-45): mu' = p.xy / p.z. That frame is NOT the pixel/ray frame:
+    the view matrix is post-translated by focal_length*front (camera.cpp:52),
+    so the camera sits at view coords (0, 0, -f) while the [-1,1]^2 pixel
+    plane sits at z=0 — a ray through view point p crosses the plane at
+    f*p.xy/(p.z + f), not p.xy/p.z. The reference masks the resulting
+    parallax error (up to ~f/z of the NDC position) with its extra
+    |tile_center| membership slack (rt.cpp:57-59). Passing focal_length
+    projects into the true ray frame, which makes the 3.3-sigma membership
+    test exact and needs no slack.
     """
     p = scene.mu @ view[:3, :3].T + view[:3, 3][None, :]   # (N,3)
     z = p[:, 2]
     valid = z >= 1.0
     zs = jnp.where(valid, z, 1.0)
-    mu2 = p[:, :2] / zs[:, None]
-    sigma_p = scene.sigma / zs
+    if focal_length is None:
+        denom = zs
+        scale = 1.0
+    else:
+        f = jnp.asarray(focal_length, jnp.float32)
+        denom = zs + f
+        scale = f
+    mu2 = scale * p[:, :2] / denom[:, None]
+    sigma_p = scale * scene.sigma / denom
     valid = valid & (sigma_p >= 1e-5)
     mu2 = jnp.where(valid[:, None], mu2, jnp.inf)
     return mu2, sigma_p, valid
 
 
-def tile_centers(tiles: int):
-    """NDC centers of a tiles x tiles grid over [-1,1]^2, row-major (ty,tx).
-    Returns (T^2, 2)."""
-    half = 1.0 / tiles
-    c = -1.0 + half + 2.0 * half * jnp.arange(tiles, dtype=jnp.float32)
-    cy, cx = jnp.meshgrid(c, c, indexing="ij")
-    return jnp.stack([cx.ravel(), cy.ravel()], axis=-1)
+def tile_centers(tiles):
+    """NDC centers of a (tx, ty) grid over [-1,1]^2, row-major (ty, tx).
+    Returns (tx*ty, 2)."""
+    tx, ty = as_grid(tiles)
+    hx, hy = 1.0 / tx, 1.0 / ty
+    cx = -1.0 + hx + 2.0 * hx * jnp.arange(tx, dtype=jnp.float32)
+    cy = -1.0 + hy + 2.0 * hy * jnp.arange(ty, dtype=jnp.float32)
+    CY, CX = jnp.meshgrid(cy, cx, indexing="ij")
+    return jnp.stack([CX.ravel(), CY.ravel()], axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("tiles", "mode"))
-def tile_membership(scene: GaussianScene, view: jnp.ndarray, tiles: int,
-                    mode: str = "tight") -> jnp.ndarray:
-    """(T^2, N) bool membership matrix.
+def tile_membership(scene: GaussianScene, view: jnp.ndarray, tiles,
+                    mode: str = "tight", focal_length=1.0) -> jnp.ndarray:
+    """(tx*ty, N) bool membership matrix. `tiles`: int or (tx, ty).
 
-    mode="tight": |c - mu'| <= tile_half + 3.3 sigma' on both axes — the
-    minimal superset of visibly-contributing Gaussians (3.3 sigma is the
-    8-bit visibility bound, thesis main.tex:520-541).
+    mode="tight": |c - mu'| <= tile_half + 3.3 sigma' on both axes in the
+    RAY frame (see project_gaussians: the exact pixel-space projection,
+    which needs focal_length) — the minimal superset of visibly-contributing
+    Gaussians (3.3 sigma is the 8-bit visibility bound, thesis
+    main.tex:520-541).
 
-    mode="reference": adds the reference's extra |tile_center| slack
-    (rt.cpp:57-59) — a quirk that makes edge tiles accept Gaussians across
-    the whole NDC range (it only *widens* the test, so images are identical;
-    on the teapot it inflates the mean per-tile count ~5x, which is pure
-    wasted work on any backend). Kept for behavioral-parity testing.
+    mode="reference": the reference's view-frame projection plus its extra
+    |tile_center| slack (rt.cpp:57-59) — the slack both absorbs the
+    view-vs-ray parallax error and makes edge tiles accept Gaussians across
+    the whole NDC range (on the teapot it inflates the mean per-tile count
+    ~5x, pure wasted work on any backend). Kept for behavioral-parity
+    testing; ignores focal_length.
     """
-    mu2, sigma_p, valid = project_gaussians(scene, view)
-    centers = tile_centers(tiles)                          # (T2,2)
-    half = 1.0 / tiles
+    tx, ty = as_grid(tiles)
+    if mode == "reference":
+        mu2, sigma_p, valid = project_gaussians(scene, view)
+    else:
+        mu2, sigma_p, valid = project_gaussians(scene, view, focal_length)
+    centers = tile_centers((tx, ty))                       # (T2,2)
+    half = jnp.array([1.0 / tx, 1.0 / ty], jnp.float32)
     d = jnp.abs(centers[:, None, :] - mu2[None, :, :])     # (T2,N,2)
-    bound = half + 3.3 * sigma_p[None, :, None]
+    bound = half[None, None, :] + 3.3 * sigma_p[None, :, None]
     if mode == "reference":
         bound = bound + jnp.abs(centers)[:, None, :]
     return jnp.all(d <= bound, axis=-1) & valid[None, :]
@@ -108,14 +148,16 @@ def compact_rows(member: jnp.ndarray, capacity: int, n: int) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("tiles", "capacity"))
-def tile_indices(scene: GaussianScene, view: jnp.ndarray, tiles: int, capacity: int):
+def tile_indices(scene: GaussianScene, view: jnp.ndarray, tiles,
+                 capacity: int, focal_length=1.0):
     """Per-tile compacted Gaussian indices.
 
     Returns (idx (T^2, K) int32 — first K member indices, padded with N
     (the dummy slot); counts (T^2,) — true member counts, so callers can
     detect capacity overflow).
     """
-    member = tile_membership(scene, view, tiles)           # (T2,N)
+    member = tile_membership(scene, view, tiles,
+                             focal_length=focal_length)    # (T2,N)
     counts = jnp.sum(member, axis=-1).astype(jnp.int32)
     return compact_rows(member, capacity, scene.n), counts
 
@@ -175,8 +217,9 @@ def gather_tiles(scene: GaussianScene, idx: jnp.ndarray) -> GaussianScene:
     )
 
 
-def max_tile_count(scene: GaussianScene, view: jnp.ndarray, tiles: int) -> int:
+def max_tile_count(scene: GaussianScene, view: jnp.ndarray, tiles,
+                   focal_length=1.0) -> int:
     """Host helper: the max per-tile Gaussian count for this frame (use to
     pick `capacity` without silent truncation)."""
-    member = tile_membership(scene, view, tiles)
+    member = tile_membership(scene, view, tiles, focal_length=focal_length)
     return int(jnp.max(jnp.sum(member, axis=-1)))

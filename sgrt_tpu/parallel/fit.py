@@ -105,6 +105,10 @@ def make_train_step(
 
 
 def init_state(scene: GaussianScene, optimizer: optax.GradientTransformation) -> FitState:
+    # Copy the scene leaves: train steps donate the state (donate_argnums),
+    # and donating buffers aliased to the caller's scene would silently
+    # invalidate the caller's arrays after the first step.
+    scene = jax.tree_util.tree_map(jnp.array, scene)
     return FitState(scene, optimizer.init(scene), jnp.zeros((), jnp.int32))
 
 
@@ -119,6 +123,7 @@ def make_frame_value_and_grad(
     exp_name: str = "exact",
     trainable: tuple[str, ...] = ("mu", "sigma", "magnitude", "albedo"),
     bucket_cfg=None,
+    focal_length=1.0,
 ):
     """Single-device frame loss+gradient: vg(scene, view, o, dirs, target)
     → ((loss, overflow), grads). The gradient core of make_frame_train_step,
@@ -163,7 +168,8 @@ def make_frame_value_and_grad(
             def f(s):
                 colors, _, overflow = render_tiles_bucketed(
                     masked_scene(s), view, o, d, bucket_cfg,
-                    erf_name=erf_name, exp_name=exp_name, tiles=tiles)
+                    erf_name=erf_name, exp_name=exp_name, tiles=tiles,
+                    focal_length=focal_length)
                 return jnp.mean((colors - target_t) ** 2), overflow
 
             return jax.value_and_grad(f, has_aux=True)(scene)
@@ -171,7 +177,8 @@ def make_frame_value_and_grad(
         return vg
 
     def vg(scene, view, o, dirs, target):
-        idx, counts = tile_indices(scene, view, tiles, capacity)
+        idx, counts = tile_indices(scene, view, tiles, capacity,
+                                   focal_length=focal_length)
         overflow = jnp.sum(counts > capacity).astype(jnp.int32)
         d = _tile_rays(dirs, height, width, tiles)
         target_t = _tile_rays(target.reshape(-1, 3), height, width, tiles)
@@ -199,6 +206,7 @@ def make_frame_train_step(
     exp_name: str = "exact",
     trainable: tuple[str, ...] = ("mu", "sigma", "magnitude", "albedo"),
     bucket_cfg=None,
+    focal_length=1.0,
 ):
     """Tiled whole-frame train step — the north-star fwd+bwd configuration
     (BASELINE.json: teapot fwd+bwd with tile culling).
@@ -227,15 +235,19 @@ def make_frame_train_step(
     from sgrt_tpu.ops.render import _tile_rays, _untile_image
     from sgrt_tpu.ops.tiling import gather_tiles, tile_indices
 
+    from sgrt_tpu.ops.tiling import as_grid
+
     pb, qb = _block_sizes(capacity)
     capacity = -(-capacity // qb) * qb
-    t2 = tiles * tiles
+    tx_, ty_ = as_grid(tiles)
+    t2 = tx_ * ty_
 
     if mesh is None:
         frame_vg = make_frame_value_and_grad(
             width=width, height=height, tiles=tiles, capacity=capacity,
             backend=backend, erf_name=erf_name, exp_name=exp_name,
             trainable=trainable, bucket_cfg=bucket_cfg,
+            focal_length=focal_length,
         )
 
         @functools.partial(jax.jit, donate_argnums=(0,))
@@ -291,7 +303,8 @@ def make_frame_train_step(
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: FitState, view, o, dirs, target):
-        idx, counts = tile_indices(state.scene, view, tiles, capacity)
+        idx, counts = tile_indices(state.scene, view, tiles, capacity,
+                                   focal_length=focal_length)
         overflow = jnp.sum(counts > capacity).astype(jnp.int32)
         d = _tile_rays(dirs, height, width, tiles)
         target_t = _tile_rays(target.reshape(-1, 3), height, width, tiles)

@@ -5,10 +5,21 @@ src/volumetric-ray-tracer/main.cpp:228-242).
 Instead of a swapchain + staging buffers, a small local HTTP server renders
 frames on demand (device-side, one jit call) and streams PNGs to a browser
 page with the same interactive controls the reference exposes: orbit angle,
-camera offset, focal length, tiling on/off, erf mode, and live scene edits
-(global sigma/magnitude multipliers — the analog of the ImGui per-Gaussian
-sliders mutating staging_gaussians, main.cpp:234-241). Frame time is shown
-like the reference's ImGui stats window.
+camera offset, focal length, tiling on/off, erf/exp mode, global
+sigma/magnitude multipliers, AND per-Gaussian edits — the analog of the
+ImGui sliders that mutate individual `staging_gaussians` entries live
+(main.cpp:234-241). Edits go to a staging scene guarded by a lock and are
+picked up at the next frame, mirroring the reference's staging-buffer mutex
+(vk-renderer.cpp:157, main.cpp:261-262). Frame time is shown like the
+reference's ImGui stats window.
+
+Endpoints:
+    GET /                   the control page
+    GET /render?...         one frame as PNG (X-Render-Ms header)
+    GET /scene              staged Gaussian parameters as JSON
+    GET /edit?index=i&...   mutate one staged Gaussian (mu=x,y,z sigma=s
+                            magnitude=m albedo=r,g,b); index=-1 resets all
+                            to the originally loaded scene
 
 Usage:  python -m sgrt_tpu.viewer [-f scene.obj | -g DIM] [--port 8765]
 """
@@ -17,6 +28,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
@@ -28,6 +40,7 @@ body { font-family: monospace; background: #111; color: #ddd; margin: 2em; }
 label { display: inline-block; width: 14em; }
 img { image-rendering: pixelated; border: 1px solid #444; margin-top: 1em; }
 #stats { color: #8f8; }
+fieldset { border: 1px solid #444; margin-top: 1em; }
 </style></head><body>
 <h2>sgrt_tpu — volumetric Gaussian ray tracer</h2>
 <div class="row"><label>orbit angle</label>
@@ -44,11 +57,31 @@ img { image-rendering: pixelated; border: 1px solid #444; margin-top: 1em; }
   <input type="checkbox" id="tiled" checked></div>
 <div class="row"><label>erf</label>
   <select id="erf"><option>as5</option><option>as3</option>
-  <option>taylor</option><option>spline_mirror</option></select></div>
+  <option>taylor</option><option>spline</option><option>spline_mirror</option></select></div>
+<div class="row"><label>exp</label>
+  <select id="exp"><option>exact</option><option>fast</option>
+  <option>spline</option></select></div>
+<fieldset><legend>per-Gaussian edit (main.cpp:234-241 analog)</legend>
+<div class="row"><label>gaussian index</label>
+  <input type="number" id="gidx" min="0" value="0" style="width:6em">
+  <button id="load">load</button> <button id="reset">reset scene</button></div>
+<div class="row"><label>mu x/y/z</label>
+  <input type="range" class="ged" id="gmx" min="-3" max="3" step="0.02">
+  <input type="range" class="ged" id="gmy" min="-3" max="3" step="0.02">
+  <input type="range" class="ged" id="gmz" min="-3" max="3" step="0.02"></div>
+<div class="row"><label>sigma</label>
+  <input type="range" class="ged" id="gs" min="0.01" max="1" step="0.01"></div>
+<div class="row"><label>magnitude</label>
+  <input type="range" class="ged" id="gm" min="0" max="5" step="0.05"></div>
+<div class="row"><label>albedo r/g/b</label>
+  <input type="range" class="ged" id="gar" min="0" max="1" step="0.02">
+  <input type="range" class="ged" id="gag" min="0" max="1" step="0.02">
+  <input type="range" class="ged" id="gab" min="0" max="1" step="0.02"></div>
+</fieldset>
 <div class="row" id="stats">-</div>
 <img id="view" width="512" height="512">
 <script>
-const ids = ['angle','offset','focal','sigma','mag','tiled','erf'];
+const ids = ['angle','offset','focal','sigma','mag','tiled','erf','exp'];
 let busy = false, dirty = false;
 async function refresh() {
   if (busy) { dirty = true; return; }
@@ -70,8 +103,105 @@ async function refresh() {
 }
 for (const id of ids)
   document.getElementById(id).addEventListener('input', refresh);
-refresh();
+async function loadG() {
+  const i = document.getElementById('gidx').value;
+  const s = await (await fetch('/scene')).json();
+  const g = s.gaussians[i];
+  if (!g) return;
+  const set = (id, v) => document.getElementById(id).value = v;
+  set('gmx', g.mu[0]); set('gmy', g.mu[1]); set('gmz', g.mu[2]);
+  set('gs', g.sigma); set('gm', g.magnitude);
+  set('gar', g.albedo[0]); set('gag', g.albedo[1]); set('gab', g.albedo[2]);
+}
+async function editG() {
+  const v = id => document.getElementById(id).value;
+  const p = new URLSearchParams();
+  p.set('index', v('gidx'));
+  p.set('mu', [v('gmx'), v('gmy'), v('gmz')].join(','));
+  p.set('sigma', v('gs')); p.set('magnitude', v('gm'));
+  p.set('albedo', [v('gar'), v('gag'), v('gab')].join(','));
+  await fetch('/edit?' + p.toString());
+  refresh();
+}
+for (const el of document.querySelectorAll('.ged'))
+  el.addEventListener('input', editG);
+document.getElementById('load').addEventListener('click', loadG);
+document.getElementById('reset').addEventListener('click', async () => {
+  await fetch('/edit?index=-1'); refresh();
+});
+refresh(); loadG();
 </script></body></html>"""
+
+
+class SceneStage:
+    """Mutable staged scene + lock — the reference's staging_gaussians
+    picked up at frame start (main.cpp:261-262) with its staging mutex
+    (vk-renderer.cpp:157)."""
+
+    def __init__(self, scene):
+        import numpy as np
+
+        self._orig = scene
+        self._lock = threading.Lock()
+        self._np = {
+            "mu": np.asarray(scene.mu).copy(),
+            "sigma": np.asarray(scene.sigma).copy(),
+            "magnitude": np.asarray(scene.magnitude).copy(),
+            "albedo": np.asarray(scene.albedo).copy(),
+        }
+
+    def snapshot(self):
+        """Staged scene as a GaussianScene (called at frame start)."""
+        import jax.numpy as jnp
+
+        with self._lock:
+            return self._orig.replace(
+                mu=jnp.asarray(self._np["mu"]),
+                sigma=jnp.asarray(self._np["sigma"]),
+                magnitude=jnp.asarray(self._np["magnitude"]),
+                albedo=jnp.asarray(self._np["albedo"]),
+            )
+
+    def as_json(self) -> dict:
+        with self._lock:
+            return {
+                "n": int(self._np["sigma"].shape[0]),
+                "gaussians": [
+                    {
+                        "mu": [float(x) for x in self._np["mu"][i]],
+                        "sigma": float(self._np["sigma"][i]),
+                        "magnitude": float(self._np["magnitude"][i]),
+                        "albedo": [float(x) for x in self._np["albedo"][i]],
+                    }
+                    for i in range(self._np["sigma"].shape[0])
+                ],
+            }
+
+    def edit(self, index: int, mu=None, sigma=None, magnitude=None,
+             albedo=None) -> bool:
+        """Mutate one staged Gaussian; index=-1 resets to the loaded scene."""
+        import numpy as np
+
+        with self._lock:
+            if index == -1:
+                self._np = {
+                    "mu": np.asarray(self._orig.mu).copy(),
+                    "sigma": np.asarray(self._orig.sigma).copy(),
+                    "magnitude": np.asarray(self._orig.magnitude).copy(),
+                    "albedo": np.asarray(self._orig.albedo).copy(),
+                }
+                return True
+            if not (0 <= index < self._np["sigma"].shape[0]):
+                return False
+            if mu is not None:
+                self._np["mu"][index] = mu
+            if sigma is not None:
+                self._np["sigma"][index] = sigma
+            if magnitude is not None:
+                self._np["magnitude"][index] = magnitude
+            if albedo is not None:
+                self._np["albedo"][index] = albedo
+            return True
 
 
 def make_handler(scene, width, height, tiles, capacity):
@@ -80,50 +210,88 @@ def make_handler(scene, width, height, tiles, capacity):
     from sgrt_tpu.ops.frame import render_orbit_frame
     from sgrt_tpu.utils.image import encode_png, to_rgba_u8
 
+    stage = SceneStage(scene)
+
     class Handler(BaseHTTPRequestHandler):
+        scene_stage = stage  # exposed for tests
+
         def log_message(self, *a):  # quiet
             pass
 
+        def _send(self, code, ctype, body, extra=()):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            for k, v in extra:
+                self.send_header(k, v)
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):
             url = urlparse(self.path)
-            if url.path == "/":
-                body = _PAGE.encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "text/html")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
-                return
-            if url.path != "/render":
-                self.send_response(404)
-                self.end_headers()
-                return
             q = {k: v[0] for k, v in parse_qs(url.query).items()}
-            edited = scene.replace(
-                sigma=scene.sigma * float(q.get("sigma", 1)),
-                magnitude=scene.magnitude * float(q.get("mag", 1)),
-            )
-            t0 = time.perf_counter()
-            img, _ = render_orbit_frame(
-                edited,
-                float(q.get("angle", 30)),
-                float(q.get("offset", -4)),
-                float(q.get("focal", 1)),
-                width=width, height=height, tiles=tiles, capacity=capacity,
-                use_tiling=q.get("tiled", "1") == "1",
-                backend="pallas", erf_name=q.get("erf", "as5"),
-            )
-            img_np = np.asarray(img)  # device sync
-            ms = (time.perf_counter() - t0) * 1e3
-            png = encode_png(to_rgba_u8(img_np))
-            self.send_response(200)
-            self.send_header("Content-Type", "image/png")
-            self.send_header("Content-Length", str(len(png)))
-            self.send_header("X-Render-Ms", f"{ms:.1f}")
-            self.end_headers()
-            self.wfile.write(png)
+            if url.path == "/":
+                self._send(200, "text/html", _PAGE.encode())
+            elif url.path == "/scene":
+                self._send(200, "application/json",
+                           json.dumps(stage.as_json()).encode())
+            elif url.path == "/edit":
+                try:
+                    idx = int(q["index"])
+                    kw = {}
+                    if "mu" in q:
+                        kw["mu"] = [float(x) for x in q["mu"].split(",")]
+                    if "sigma" in q:
+                        kw["sigma"] = float(q["sigma"])
+                    if "magnitude" in q:
+                        kw["magnitude"] = float(q["magnitude"])
+                    if "albedo" in q:
+                        kw["albedo"] = [float(x) for x in q["albedo"].split(",")]
+                    ok = stage.edit(idx, **kw)
+                except (KeyError, ValueError):
+                    ok = False
+                body = json.dumps({"ok": ok}).encode()
+                self._send(200 if ok else 400, "application/json", body)
+            elif url.path == "/render":
+                edited = stage.snapshot()
+                edited = edited.replace(
+                    sigma=edited.sigma * float(q.get("sigma", 1)),
+                    magnitude=edited.magnitude * float(q.get("mag", 1)),
+                )
+                t0 = time.perf_counter()
+                img, _ = render_orbit_frame(
+                    edited,
+                    float(q.get("angle", 30)),
+                    float(q.get("offset", -4)),
+                    float(q.get("focal", 1)),
+                    width=width, height=height, tiles=tiles,
+                    capacity=capacity,
+                    use_tiling=q.get("tiled", "1") == "1",
+                    backend="pallas", erf_name=q.get("erf", "as5"),
+                    exp_name=q.get("exp", "exact"),
+                )
+                img_np = np.asarray(img)  # device sync
+                ms = (time.perf_counter() - t0) * 1e3
+                png = encode_png(to_rgba_u8(img_np))
+                self._send(200, "image/png", png,
+                           extra=(("X-Render-Ms", f"{ms:.1f}"),))
+            else:
+                self._send(404, "text/plain", b"not found")
 
     return Handler
+
+
+def make_server(scene, width=256, height=256, tiles=16, capacity=None,
+                host="127.0.0.1", port=0) -> ThreadingHTTPServer:
+    """Construct (but don't start) the viewer server; port=0 picks a free
+    port (server_address[1] has the bound one). Used by main() and tests."""
+    if capacity is None:
+        from sgrt_tpu.ops.frame import probe_capacity
+
+        capacity = max(32, int(probe_capacity(
+            scene, [0.0, 45.0, 90.0, 135.0, 180.0], -4.0, 1.0, tiles) * 1.5))
+    handler = make_handler(scene, width, height, tiles, capacity)
+    return ThreadingHTTPServer((host, port), handler)
 
 
 def main(argv=None) -> int:
@@ -137,17 +305,13 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     from sgrt_tpu.models.gaussians import grid_scene, scene_from_obj
-    from sgrt_tpu.ops.frame import probe_capacity
 
     scene = (scene_from_obj(args.file) if args.file
              else grid_scene(args.grid))
-    cap = max(32, int(probe_capacity(
-        scene, [0.0, 45.0, 90.0, 135.0, 180.0], -4.0, 1.0, args.tiles) * 1.5))
-
-    handler = make_handler(scene, args.width, args.height, args.tiles, cap)
-    server = ThreadingHTTPServer(("127.0.0.1", args.port), handler)
-    print(f"sgrt_tpu viewer: http://127.0.0.1:{args.port}/  "
-          f"({scene.n} Gaussians, capacity {cap})")
+    server = make_server(scene, args.width, args.height, args.tiles,
+                         port=args.port)
+    print(f"sgrt_tpu viewer: http://127.0.0.1:{server.server_address[1]}/  "
+          f"({scene.n} Gaussians)")
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -146,3 +146,26 @@ def test_bucketed_render_matches_single_bucket():
                                   capacity=64, backend="pallas")
     np.testing.assert_allclose(np.asarray(img_b), np.asarray(img_p),
                                atol=2e-6)
+
+
+def test_rectangular_grid_matches_square():
+    """A rectangular (tx, ty) tile grid must produce the same image as the
+    square grid and the untiled render (lane-packing optimization: tiles
+    sized so rays/tile = 128)."""
+    import numpy as np
+
+    from sgrt_tpu.models.gaussians import grid_scene
+    from sgrt_tpu.ops.frame import render_orbit_frame
+
+    scene = grid_scene(8)
+    kw = dict(width=64, height=64, capacity=64, backend="xla")
+    img_ut, _ = render_orbit_frame(scene, 23.0, use_tiling=False, **kw)
+    ut = np.asarray(img_ut)
+    # tolerance = the 3.3 sigma culling bound: any tile shape may drop
+    # contributions below the 8-bit visibility threshold (1/255, thesis
+    # main.tex:520-541), so tiled-vs-untiled agreement is ~4e-3, not exact
+    for tiles in (4, (4, 8), (8, 2), (2, 8)):
+        img, ovf = render_orbit_frame(scene, 23.0, tiles=tiles, **kw)
+        assert int(ovf) == 0
+        np.testing.assert_allclose(np.asarray(img), ut, atol=4e-3,
+                                   err_msg=str(tiles))
