@@ -1,13 +1,25 @@
 """Headline benchmark — prints ONE JSON line.
 
-Protocol mirrors the reference's runtimes.sh best case (mode 8: tiled +
-fully parallel): cube.obj (386 Gaussians), 256x256, tiles=16, orbiting
-camera, per-frame re-tiling included in frame time (runtimes.sh:19-35,
-main.cpp:257-335). Baseline: 1.24 s/frame (Clang, 7950X @3 GHz, 32 threads)
-= 52.9K rays/s — thesis tab:perf_dense_cube_avx512 (BASELINE.md).
+Two metrics in one line, plus hardware parity evidence:
 
-    {"metric": "rays_per_s_cube_mode8", "value": ..., "unit": "rays/s",
-     "vs_baseline": ...}
+  value / metric    — the NORTH STAR (BASELINE.json): rays/s/chip at
+                      256x256 teapot forward+backward through the tiled
+                      frame train step (per-frame re-tiling + gather +
+                      fused Pallas kernel fwd + custom-VJP bwd + optimizer).
+  cube_mode8_*      — the reference's own headline benchmark (runtimes.sh
+                      best case, mode 8: tiled + fully parallel, cube.obj,
+                      256x256, orbiting camera, per-frame re-tiling in the
+                      frame time). Reference: 1.24 s/frame = 52.9K rays/s
+                      (Clang, 7950X @3 GHz, 32 threads) — BASELINE.md.
+  parity_ok         — verify_tpu.run_checks(quick) executed on THIS device
+                      with the compiled (interpret=False) kernels: forward
+                      and gradients vs the XLA formulation and the un-fused
+                      oracle (img-error methodology on the production
+                      backend, img-error.cpp:27-60).
+
+vs_baseline is the cube-mode8 ratio (the only published reference number);
+the teapot fwd+bwd has no reference baseline (the reference is
+forward-only, SURVEY §0).
 
 Timing note: a device round-trip (scalar fetch) bounds every timed span —
 on a tunneled TPU, block_until_ready() can return before execution
@@ -21,44 +33,42 @@ import time
 
 BASELINE_RAYS_PER_S = 256 * 256 / 1.24  # reference mode-8 mt best (Clang)
 CUBE_OBJ = "/root/reference/test-objects/cube.obj"
+TEAPOT_OBJ = "/root/reference/test-objects/teapot.obj"
+ANGLES = [0.0, 30.0, 45.0, 60.0, 90.0]
 
 
-def load_scene():
+def load_scene(path, n_fallback):
     import numpy as np
 
     from sgrt_tpu.models.gaussians import scene_from_obj, scene_from_vertices
 
-    if os.path.exists(CUBE_OBJ):
-        return scene_from_obj(CUBE_OBJ)
-    # Standalone fallback: procedural cube-surface point cloud at the same
-    # scale (386 vertices -> sigma heuristic 0.15 band like cube.obj).
+    if os.path.exists(path):
+        return scene_from_obj(path)
+    # Standalone fallback: procedural surface point cloud at the same scale.
     rng = np.random.default_rng(0)
-    n = 386
-    pts = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    pts = rng.uniform(-1, 1, (n_fallback, 3)).astype(np.float32)
     pts /= np.maximum(np.abs(pts).max(axis=1, keepdims=True), 1e-6)
     return scene_from_vertices(pts)
 
 
-def main():
+def bench_cube_mode8():
     import jax.numpy as jnp
 
-    from sgrt_tpu.ops.frame import probe_capacity, render_orbit_frame
+    from sgrt_tpu.ops.frame import (probe_buckets, probe_capacity,
+                                    render_orbit_frame)
 
-    scene = load_scene()
+    scene = load_scene(CUBE_OBJ, 386)
     frames = int(os.environ.get("BENCH_FRAMES", "100"))
     tiles = 16
     backend = os.environ.get("BENCH_BACKEND", "pallas")
     # A&S erf is the reference's production mode-8 choice (thesis
-    # main.tex:1587-1626); "as5" gives the f32-exact variant.
+    # main.tex:1587-1626); "as3" is that variant, f32-exact is "as5".
     erf_name = os.environ.get("BENCH_ERF", "as3")
 
-    angles = [0.0, 30.0, 45.0, 60.0, 90.0]
-    capacity = max(64, int(probe_capacity(scene, angles, -4.0, 1.0, tiles) * 1.3))
+    capacity = max(64, int(probe_capacity(scene, ANGLES, -4.0, 1.0, tiles) * 1.3))
     bucket_cfg = None
     if backend == "pallas":
-        from sgrt_tpu.ops.frame import probe_buckets
-
-        bucket_cfg = probe_buckets(scene, angles, -4.0, 1.0, tiles, margin=1.3)
+        bucket_cfg = probe_buckets(scene, ANGLES, -4.0, 1.0, tiles, margin=1.3)
 
     def frame(angle):
         img, _ = render_orbit_frame(
@@ -68,29 +78,99 @@ def main():
         )
         return img
 
-    # Warmup / compile; the float() fetch is the only reliable sync point.
-    checksum = float(jnp.sum(frame(0.0)))
+    # Warmup/compile; overflow check once (a mis-probed capacity would
+    # silently under-render and inflate the number).
+    img, ovf = render_orbit_frame(
+        scene, 0.0, -4.0, 1.0, width=256, height=256, tiles=tiles,
+        capacity=capacity, backend=backend, erf_name=erf_name,
+        bucket_cfg=bucket_cfg)
+    assert int(ovf) == 0, "cube bench: tile capacity overflow"
+    float(jnp.sum(img))
 
     angle_change = 360.0 / frames
-    # Timed run: dispatch all frames, sync once at the end via a data fetch.
-    # (Matches the reference protocol: avg frame time over an orbit,
-    # main.cpp:310-316. Per-frame host syncs would measure tunnel latency.)
     t0 = time.perf_counter()
-    img = None
     for i in range(frames):
         img = frame(i * angle_change)
     float(jnp.sum(img))
     total = time.perf_counter() - t0
+    return 256 * 256 / (total / frames)
 
-    avg = total / frames
-    rays_per_s = 256 * 256 / avg
+
+def bench_teapot_fwdbwd():
+    """North-star config: teapot 256^2 tiled fwd+bwd steps (fit loop)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from sgrt_tpu.ops.frame import orbit_camera, probe_buckets, probe_capacity
+    from sgrt_tpu.parallel.fit import init_state, make_frame_train_step
+
+    scene = load_scene(TEAPOT_OBJ, 3644)
+    tiles_env = os.environ.get("BENCH_TILES", "16x32")
+    tiles = (tuple(int(v) for v in tiles_env.split("x"))
+             if "x" in tiles_env else int(tiles_env))
+    steps = int(os.environ.get("BENCH_STEPS", "30"))
+
+    capacity = max(64, int(probe_capacity(scene, ANGLES, -4.0, 1.0, tiles) * 1.3))
+    bucket_cfg = probe_buckets(scene, ANGLES, -4.0, 1.0, tiles, margin=1.3)
+
+    cam = orbit_camera(30.0, -4.0, 1.0, 256, 256)
+    o, dirs = cam.rays()
+    # fit against the scene's own render from another angle — a real
+    # gradient signal (not a zero image)
+    from sgrt_tpu.ops.frame import render_orbit_frame
+
+    target, ovf_t = render_orbit_frame(
+        scene, 35.0, -4.0, 1.0, width=256, height=256, tiles=tiles,
+        capacity=capacity, backend="pallas", bucket_cfg=bucket_cfg)
+    assert int(ovf_t) == 0
+
+    opt = optax.adam(1e-3)
+    step = make_frame_train_step(
+        opt, width=256, height=256, tiles=tiles, capacity=capacity,
+        backend="pallas", erf_name="as5", bucket_cfg=bucket_cfg)
+    state = init_state(scene, opt)
+
+    state, loss, ovf = step(state, cam.view_matrix, o, dirs, target)
+    assert int(ovf) == 0, "teapot bench: tile capacity overflow"
+    float(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, loss, ovf = step(state, cam.view_matrix, o, dirs, target)
+    final_loss = float(loss)
+    total = time.perf_counter() - t0
+    assert final_loss < 1e-3, f"teapot fit diverged: {final_loss}"
+    return 256 * 256 / (total / steps)
+
+
+def main():
+    report = {}
+    teapot_rate = bench_teapot_fwdbwd()
+    cube_rate = bench_cube_mode8()
+
+    parity = {"parity_ok": None}
+    if os.environ.get("BENCH_SKIP_PARITY") != "1":
+        from verify_tpu import run_checks
+
+        parity = run_checks(quick=True)
+        with open("VERIFY_TPU.json", "w") as f:
+            json.dump(parity, f, indent=2)
+
     print(
         json.dumps(
             {
-                "metric": "rays_per_s_cube_mode8",
-                "value": round(rays_per_s, 1),
+                "metric": "rays_per_s_chip_teapot_fwdbwd",
+                "value": round(teapot_rate, 1),
                 "unit": "rays/s",
-                "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
+                # the only published reference throughput is the forward-only
+                # cube mode-8 (52.9K rays/s); the ratio below is the cube
+                # metric against it. The teapot fwd+bwd has no reference
+                # baseline (reference is forward-only).
+                "vs_baseline": round(cube_rate / BASELINE_RAYS_PER_S, 3),
+                "cube_mode8_rays_per_s": round(cube_rate, 1),
+                "parity_ok": parity.get("parity_ok"),
+                "parity_checks": len(parity.get("checks", {})),
             }
         )
     )
