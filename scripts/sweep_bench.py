@@ -1,4 +1,5 @@
-"""Config sweep for the headline bench: scene x tiles x scheduler x blocks.
+"""Config sweep for the headline bench: scene x tile grids (incl. rectangular)
+x scheduler x dense fraction; SWEEP_EXP selects the exp approximation.
 
 Same protocol as bench.py (orbit, 256x256, pipelined dispatch, single end
 fetch); prints one line per config. Covers the teapot (the north-star scene,
@@ -46,7 +47,7 @@ def sweep_scene(name: str, results: list):
     scene = scene_from_obj(OBJS[name])
     angles = [0.0, 30.0, 45.0, 60.0, 90.0]
 
-    for tiles in (8, 16, 32):
+    for tiles in (8, 16, 32, (16, 32), (32, 16)):
         cap = max(64, int(probe_capacity(scene, angles, -4.0, 1.0, tiles) * 1.3))
         cfgs = [("plain", dict())]
         for frac in (0.0625, 0.125, 0.25):
@@ -57,17 +58,18 @@ def sweep_scene(name: str, results: list):
             def frame(a, kw=kw, tiles=tiles, cap=cap):
                 img, _ = render_orbit_frame(
                     scene, a, -4.0, 1.0, width=256, height=256, tiles=tiles,
-                    capacity=cap, backend="pallas", erf_name="as3", **kw)
+                    capacity=cap, backend="pallas", erf_name="as3",
+                    exp_name=os.environ.get("SWEEP_EXP", "exact"), **kw)
                 return img
             try:
                 avg = measure(frame)
             except Exception as e:  # noqa: BLE001
-                print(f"{name:7s} tiles={tiles:3d} {cfg_name:12s} FAILED: "
+                print(f"{name:7s} tiles={str(tiles):8s} {cfg_name:12s} FAILED: "
                       f"{type(e).__name__}: {str(e)[:100]}", flush=True)
                 continue
             rate = 256 * 256 / avg
             results.append((rate, name, tiles, cfg_name))
-            print(f"{name:7s} tiles={tiles:3d} {cfg_name:12s} cap={cap:4d} "
+            print(f"{name:7s} tiles={str(tiles):8s} {cfg_name:12s} cap={cap:4d} "
                   f"{avg*1e3:8.3f} ms  {rate/1e6:7.2f} Mrays/s", flush=True)
 
 

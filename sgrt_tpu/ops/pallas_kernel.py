@@ -888,6 +888,204 @@ def _fused_fwd_kernel(counts_ref, oc_ref, sig_ref, mag_ref, alb_ref, dirs_ref,
     jax.lax.fori_loop(0, np_dyn, p_body, 0)
 
 
+def _fused_fwd_t_kernel(counts_ref, oc_ref, sig_ref, mag_ref, alb_ref,
+                        dirs_ref, col_ref, t_ref, mb_s, co_s, inv_s,
+                        *, pb: int, qb: int, erf, exp):
+    """Forward that also materializes the 5 transmittance factors
+    T_k(p, r) = w_k exp(base - acc_k) to HBM (t_ref block (1, 5, N, RB)).
+
+    T is O(N*R*5) — tiny next to the O(N^2*R) pass-A recompute it saves in
+    the backward (flash-attention's recompute tradeoff INVERTED: here the
+    softmax-like factors are per (p, r), not per (p, q, r), so saving wins).
+    Dead rows (>= count) keep T = 0 from the upfront clear, which zeroes
+    their gradient contributions in the saved-T backward.
+    """
+    count = counts_ref[pl.program_id(0)]
+    rb = dirs_ref.shape[2]
+    n = oc_ref.shape[1]
+    np_dyn = pl.cdiv(count, pb)
+    nq_dyn = pl.cdiv(count, qb)
+
+    sig = sig_ref[0]                                             # (N, 1)
+    _, _, inv, _ = _prep_scratch(oc_ref[0], sig, mag_ref[0], dirs_ref[0],
+                                 mb_s, co_s, inv_s, exp)
+    base = _ones_row_sum(co_s[:] * erf(-mb_s[:] * inv))          # (1, RB)
+    col_ref[0] = jnp.zeros((3, rb), jnp.float32)
+    t_ref[0] = jnp.zeros((len(K_TAPS), n, rb), jnp.float32)
+
+    def p_body(pi, _):
+        p0 = pl.multiple_of(pi * pb, pb)
+        mu_p = mb_s[pl.ds(p0, pb), :]                            # (PB, RB)
+        sig_p = sig_ref[0, pl.ds(p0, pb), :]                     # (PB, 1)
+        co_p = co_s[pl.ds(p0, pb), :]
+        alb_p = alb_ref[0, pl.ds(p0, pb), :]                     # (PB, 3)
+
+        def q_body(qi, accs):
+            q0 = pl.multiple_of(qi * qb, qb)
+            mu_q = mb_s[pl.ds(q0, qb), :]
+            co_q = co_s[pl.ds(q0, qb), :][None]
+            inv_q = inv_s[pl.ds(q0, qb), :].reshape(1, qb, 1)
+            darg = (mu_p[:, None, :] - mu_q[None, :, :]) * inv_q
+            ks = sig_p.reshape(pb, 1, 1) * inv_q
+            return tuple(
+                acc + jnp.sum(co_q * erf(darg + k * ks), axis=1)
+                for acc, k in zip(accs, K_TAPS)
+            )
+
+        acc0 = tuple(jnp.zeros((pb, rb), jnp.float32) for _ in K_TAPS)
+        accs = jax.lax.fori_loop(0, nq_dyn, q_body, acc0)
+        T = tuple(w * exp(base - acc) for w, acc in zip(K_WEIGHTS, accs))
+        for ki, tk in enumerate(T):
+            t_ref[0, ki, pl.ds(p0, pb), :] = tk
+        tw = sum(T)
+        w_p = _SQRT_2_PI * co_p * tw
+        col_ref[0] += jax.lax.dot_general(
+            alb_p, w_p, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, np_dyn, p_body, 0)
+
+
+def _fused_bwd_t_kernel(counts_ref, oc_ref, sig_ref, mag_ref, alb_ref,
+                        dirs_ref, t_ref, dcol_ref,
+                        doc_ref, dsig_ref, dmag_ref, dalb_ref, ddirs_ref,
+                        mb_s, co_s, inv_s, dmb_s, dco_s, dsig_s, dinv_s, db_s,
+                        dalb_s,
+                        *, pb: int, qb: int, erf, exp, erf_and_gauss):
+    """Saved-T backward: pass A (the full O(N^2) acc_k recompute) replaced
+    by reading the forward's T factors; only the gradient q-pass remains.
+    The per-k arg cotangents are folded into two accumulators
+    S0 = sum_k dargk and S1 = sum_k k*dargk, from which all four
+    mu/sigma/inv reductions follow (off_k = d + k*sig_p ⇒
+    sum_k dargk*off_k = S0*d + S1*sig_p)."""
+    count = counts_ref[pl.program_id(0)]
+    n = oc_ref.shape[1]
+    rb = dirs_ref.shape[2]
+    np_dyn = pl.cdiv(count, pb)
+    nq_dyn = pl.cdiv(count, qb)
+
+    oc = oc_ref[0]                                               # (N, 3)
+    sig = sig_ref[0]                                             # (N, 1)
+    mag = mag_ref[0]
+    d = dirs_ref[0]                                              # (3, RB)
+    dcol = dcol_ref[0]                                           # (3, RB)
+
+    ocsq, inv2s2, inv, _ = _prep_scratch(oc, sig, mag, d, mb_s, co_s, inv_s,
+                                         exp)
+    mb = mb_s[:]
+    co = co_s[:]
+    e1, g1 = erf_and_gauss(-mb * inv)                            # (N, RB) x2
+    base = _ones_row_sum(co * e1)                                # (1, RB)
+    del base  # base only feeds T, which is saved
+
+    dmb_s[:] = jnp.zeros(dmb_s.shape, jnp.float32)
+    dco_s[:] = jnp.zeros(dco_s.shape, jnp.float32)
+    dsig_s[:] = jnp.zeros(dsig_s.shape, jnp.float32)
+    dinv_s[:] = jnp.zeros(dinv_s.shape, jnp.float32)
+    db_s[:] = jnp.zeros(db_s.shape, jnp.float32)
+    dalb_s[:] = jnp.zeros(dalb_s.shape, jnp.float32)
+
+    def p_body(pi, _):
+        p0 = pl.multiple_of(pi * pb, pb)
+        mu_p = mb_s[pl.ds(p0, pb), :]
+        sig_p = sig_ref[0, pl.ds(p0, pb), :]
+        co_p = co_s[pl.ds(p0, pb), :]
+        alb_p = alb_ref[0, pl.ds(p0, pb), :]
+        A_p = jnp.dot(alb_p, dcol, preferred_element_type=jnp.float32)
+        g_p = _SQRT_2_PI * co_p * A_p                            # (PB, RB)
+
+        T = tuple(t_ref[0, ki, pl.ds(p0, pb), :]
+                  for ki in range(len(K_TAPS)))
+        tw_p = sum(T)
+        db_s[:] += _ones_row_sum(g_p * tw_p)
+        G = tuple(g_p * t for t in T)
+
+        dco_s[pl.ds(p0, pb), :] += _SQRT_2_PI * tw_p * A_p
+        w_p = _SQRT_2_PI * co_p * tw_p
+        dalb_s[pl.ds(p0, pb), :] += jax.lax.dot_general(
+            w_p, dcol, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        def qb_body(qi, carry):
+            dmu_p, dsig_p = carry
+            q0 = pl.multiple_of(qi * qb, qb)
+            mu_q = mb_s[pl.ds(q0, qb), :]
+            co_q = co_s[pl.ds(q0, qb), :][None]                  # (1,QB,RB)
+            inv_q = inv_s[pl.ds(q0, qb), :].reshape(1, qb, 1)
+            dd = mu_p[:, None, :] - mu_q[None, :, :]             # (PB,QB,RB)
+            sig_p3 = sig_p.reshape(pb, 1, 1)
+
+            dco_blk = jnp.zeros((qb, rb), jnp.float32)
+            s0 = jnp.zeros((pb, qb, rb), jnp.float32)
+            s1 = jnp.zeros((pb, qb, rb), jnp.float32)
+            for k, Gk in zip(K_TAPS, G):
+                off = dd + k * sig_p3
+                ee, gau = erf_and_gauss(off * inv_q)
+                dco_blk -= jnp.sum(Gk[:, None, :] * ee, axis=0)
+                dargk = (-_DERF) * Gk[:, None, :] * co_q * gau
+                s0 += dargk
+                s1 += k * dargk
+
+            di = s0 * inv_q                                      # (PB,QB,RB)
+            di_q = jnp.sum(di, axis=1)                           # (PB,RB)
+            dmu_p += di_q
+            dsig_p += jnp.sum(s1 * inv_q, axis=1)                # k-weighted
+            dco_s[pl.ds(q0, qb), :] += dco_blk
+            dmb_s[pl.ds(q0, qb), :] += -jnp.sum(di, axis=0)
+            dinv_s[pl.ds(q0, qb), :] += jnp.sum(
+                s0 * dd + s1 * sig_p3, axis=0)
+            return dmu_p, dsig_p
+
+        dmu_p0 = jnp.zeros((pb, rb), jnp.float32)
+        dsig_p0 = jnp.zeros((pb, rb), jnp.float32)
+        dmu_p, dsig_p = jax.lax.fori_loop(0, nq_dyn, qb_body,
+                                          (dmu_p0, dsig_p0))
+        dmb_s[pl.ds(p0, pb), :] += dmu_p
+        dsig_s[pl.ds(p0, pb), :] += dsig_p
+        return 0
+
+    jax.lax.fori_loop(0, np_dyn, p_body, 0)
+
+    # base-path gradients (db = sum_p g*tw accumulated above)
+    db = db_s[:]                                                  # (1, RB)
+    dco_s[:] += db * e1
+    derf1 = _DERF * db * co * g1
+    dmb_s[:] += derf1 * (-inv)
+    dinv_s[:] += derf1 * (-mb)
+
+    # ---- chain through the in-kernel prep (same as _fused_bwd_kernel) ----
+    dcoco = dco_s[:] * co                                         # (N, RB)
+    dmb_s[:] += dcoco * (2.0 * inv2s2) * mb
+    docsq = jnp.sum(dcoco, axis=1, keepdims=True) * (-inv2s2)     # (N, 1)
+    s_row = jnp.sum(dcoco, axis=1, keepdims=True)
+    s_qmb = jnp.sum(dcoco * (ocsq - mb * mb), axis=1, keepdims=True)
+    dsig_col = (jnp.sum(dsig_s[:], axis=1, keepdims=True)
+                + jnp.sum(dinv_s[:], axis=1, keepdims=True) * (-inv / sig)
+                + s_row / sig + s_qmb / (sig * sig * sig))        # (N, 1)
+    dmag_col = mag * s_row / jnp.where(mag > 0, mag * mag, 1.0)
+    doc = (jax.lax.dot_general(dmb_s[:], d, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+           + 2.0 * oc * docsq)                                    # (N, 3)
+    ddirs_ref[0] = jax.lax.dot_general(
+        oc, dmb_s[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                       # (3, RB)
+
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        doc_ref[0] = jnp.zeros((n, 3), jnp.float32)
+        dsig_ref[0] = jnp.zeros((n, 1), jnp.float32)
+        dmag_ref[0] = jnp.zeros((n, 1), jnp.float32)
+        dalb_ref[0] = jnp.zeros((n, 3), jnp.float32)
+
+    doc_ref[0] += doc
+    dsig_ref[0] += dsig_col
+    dmag_ref[0] += dmag_col
+    dalb_ref[0] += dalb_s[:]
+
+
 def _fused_bwd_kernel(counts_ref, oc_ref, sig_ref, mag_ref, alb_ref, dirs_ref,
                       dcol_ref,
                       doc_ref, dsig_ref, dmag_ref, dalb_ref, ddirs_ref,
@@ -1075,6 +1273,112 @@ def _fused_fwd_call(oc, sigma, mag, albedo, dirs_t, counts, *, rb, pb, qb,
     )(counts, oc, sigma[:, :, None], mag[:, :, None], albedo, dirs_t)
 
 
+def _fused_fwd_t_call(oc, sigma, mag, albedo, dirs_t, counts, *, rb, pb, qb,
+                      erf_name, exp_name, interpret):
+    b, n, _ = oc.shape
+    r = dirs_t.shape[2]
+    nk = len(K_TAPS)
+    erf = ERF_IMPLS[erf_name]
+    exp = EXP_IMPLS[exp_name]
+    kernel = functools.partial(_fused_fwd_t_kernel, pb=pb, qb=qb, erf=erf,
+                               exp=exp)
+    n_erf = 6 * b * r * n * n
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, r // rb),
+        in_specs=[
+            pl.BlockSpec((1, n, 3), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, n, 1), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, n, 1), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, n, 3), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, 3, rb), lambda bb, i, c: (bb, 0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 3, rb), lambda bb, i, c: (bb, 0, i)),
+            pl.BlockSpec((1, nk, n, rb), lambda bb, i, c: (bb, 0, 0, i)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, rb), jnp.float32),
+            pltpu.VMEM((n, rb), jnp.float32),
+            pltpu.VMEM((n, 1), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 3, r), jnp.float32),
+            jax.ShapeDtypeStruct((b, nk, n, r), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=14 * n_erf, bytes_accessed=4 * b * (n * 8 + nk * n * r),
+            transcendentals=n_erf,
+        ),
+        compiler_params=_VMEM_LIMIT,
+        interpret=interpret,
+    )(counts, oc, sigma[:, :, None], mag[:, :, None], albedo, dirs_t)
+
+
+def _fused_bwd_t_call(oc, sigma, mag, albedo, dirs_t, counts, t_saved, dcol,
+                      *, rb, pb, qb, erf_name, exp_name, interpret):
+    b, n, _ = oc.shape
+    r = dirs_t.shape[2]
+    nk = len(K_TAPS)
+    erf = ERF_IMPLS[erf_name]
+    exp = EXP_IMPLS[exp_name]
+    eag = ERF_AND_GAUSS_IMPLS.get(erf_name, ERF_AND_GAUSS_IMPLS["as5"])
+    kernel = functools.partial(_fused_bwd_t_kernel, pb=pb, qb=qb, erf=erf,
+                               exp=exp, erf_and_gauss=eag)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, r // rb),
+        in_specs=[
+            pl.BlockSpec((1, n, 3), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, n, 1), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, n, 1), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, n, 3), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, 3, rb), lambda bb, i, c: (bb, 0, i)),
+            pl.BlockSpec((1, nk, n, rb), lambda bb, i, c: (bb, 0, 0, i)),
+            pl.BlockSpec((1, 3, rb), lambda bb, i, c: (bb, 0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n, 3), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, n, 1), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, n, 1), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, n, 3), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, 3, rb), lambda bb, i, c: (bb, 0, i)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, rb), jnp.float32),   # mb
+            pltpu.VMEM((n, rb), jnp.float32),   # co
+            pltpu.VMEM((n, 1), jnp.float32),    # inv
+            pltpu.VMEM((n, rb), jnp.float32),   # dmb
+            pltpu.VMEM((n, rb), jnp.float32),   # dco
+            pltpu.VMEM((n, rb), jnp.float32),   # dsig
+            pltpu.VMEM((n, rb), jnp.float32),   # dinv
+            pltpu.VMEM((1, rb), jnp.float32),   # db
+            pltpu.VMEM((n, 3), jnp.float32),    # dalb
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, 3), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 3), jnp.float32),
+            jax.ShapeDtypeStruct((b, 3, r), jnp.float32),
+        ],
+        compiler_params=_VMEM_LIMIT,
+        interpret=interpret,
+    )
+    doc, dsig, dmag, dalb, ddirs = call(counts, oc, sigma[:, :, None],
+                                        mag[:, :, None], albedo, dirs_t,
+                                        t_saved, dcol)
+    return doc, dsig[:, :, 0], dmag[:, :, 0], dalb, ddirs
+
+
 def _fused_bwd_call(oc, sigma, mag, albedo, dirs_t, counts, dcol, *, rb, pb,
                     qb, erf_name, exp_name, interpret):
     b, n, _ = oc.shape
@@ -1133,12 +1437,18 @@ def _fused_bwd_call(oc, sigma, mag, albedo, dirs_t, counts, dcol, *, rb, pb,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_fused_op(rb, pb, qb, rb_bwd, erf_name, exp_name, interpret):
+def _make_fused_op(rb, pb, qb, rb_bwd, erf_name, exp_name, interpret,
+                   save_t=False):
     """Fully-fused custom-VJP op.
 
     fused_op(oc (B,N,3) = mu - o, sigma (B,N), magnitude (B,N),
              albedo (B,N,3), dirs_t (B,3,R), counts (B,) int32)
         -> colors (B,3,R)
+
+    save_t: the differentiated forward materializes the 5 per-(p, ray)
+    transmittance factors T_k to HBM (O(N*R*5) bytes) and the backward
+    skips the O(N^2*R) pass-A recompute (~a full forward's erf work).
+    The undifferentiated primal never pays the write.
     """
 
     @jax.custom_vjp
@@ -1147,27 +1457,51 @@ def _make_fused_op(rb, pb, qb, rb_bwd, erf_name, exp_name, interpret):
                                rb=rb, pb=pb, qb=qb, erf_name=erf_name,
                                exp_name=exp_name, interpret=interpret)
 
-    def fwd(oc, sigma, mag, albedo, dirs_t, counts):
-        return fused_op(oc, sigma, mag, albedo, dirs_t, counts), (
-            oc, sigma, mag, albedo, dirs_t, counts)
+    if save_t:
+        def fwd(oc, sigma, mag, albedo, dirs_t, counts):
+            colors, t_saved = _fused_fwd_t_call(
+                oc, sigma, mag, albedo, dirs_t, counts, rb=rb_bwd, pb=pb,
+                qb=qb, erf_name=erf_name, exp_name=exp_name,
+                interpret=interpret)
+            return colors, (oc, sigma, mag, albedo, dirs_t, counts, t_saved)
 
-    def bwd(res, g):
-        oc, sigma, mag, albedo, dirs_t, counts = res
-        doc, dsig, dmag, dalb, ddirs = _fused_bwd_call(
-            oc, sigma, mag, albedo, dirs_t, counts, g, rb=rb_bwd, pb=pb,
-            qb=qb, erf_name=erf_name, exp_name=exp_name, interpret=interpret,
-        )
-        dcounts = np.zeros(counts.shape, jax.dtypes.float0)
-        return doc, dsig, dmag, dalb, ddirs, dcounts
+        def bwd(res, g):
+            oc, sigma, mag, albedo, dirs_t, counts, t_saved = res
+            doc, dsig, dmag, dalb, ddirs = _fused_bwd_t_call(
+                oc, sigma, mag, albedo, dirs_t, counts, t_saved, g,
+                rb=rb_bwd, pb=pb, qb=qb, erf_name=erf_name,
+                exp_name=exp_name, interpret=interpret,
+            )
+            dcounts = np.zeros(counts.shape, jax.dtypes.float0)
+            return doc, dsig, dmag, dalb, ddirs, dcounts
+    else:
+        def fwd(oc, sigma, mag, albedo, dirs_t, counts):
+            return fused_op(oc, sigma, mag, albedo, dirs_t, counts), (
+                oc, sigma, mag, albedo, dirs_t, counts)
+
+        def bwd(res, g):
+            oc, sigma, mag, albedo, dirs_t, counts = res
+            doc, dsig, dmag, dalb, ddirs = _fused_bwd_call(
+                oc, sigma, mag, albedo, dirs_t, counts, g, rb=rb_bwd, pb=pb,
+                qb=qb, erf_name=erf_name, exp_name=exp_name,
+                interpret=interpret,
+            )
+            dcounts = np.zeros(counts.shape, jax.dtypes.float0)
+            return doc, dsig, dmag, dalb, ddirs, dcounts
 
     fused_op.defvjp(fwd, bwd)
     return fused_op
 
 
+# Auto save-T threshold: residual T is 5*B*N*R floats; above this byte
+# budget the backward falls back to the recompute (flash) path.
+SAVE_T_MAX_BYTES = 1 << 30
+
+
 def render_fused(scene_oc, sigma, mag, albedo, dirs_t, counts=None, *,
                  rb: int = 128, pb: int = 16, qb: int = 32,
                  rb_bwd: int | None = None, erf_name: str = "as5",
-                 exp_name: str = "exact",
+                 exp_name: str = "exact", save_t: bool | None = None,
                  interpret: bool | None = None):
     """Fully-fused batched render: oc (B,N,3), sigma/mag (B,N), albedo
     (B,N,3), dirs_t (B,3,R) → colors (B,3,R). No (B,N,R) intermediate in
@@ -1188,5 +1522,8 @@ def render_fused(scene_oc, sigma, mag, albedo, dirs_t, counts=None, *,
     if counts is None:
         counts = jnp.full((b,), n, jnp.int32)
     counts = jnp.minimum(counts.astype(jnp.int32), n)  # see tw_pallas
-    op = _make_fused_op(rb, pb, qb, rb_bwd, erf_name, exp_name, interpret)
+    if save_t is None:
+        save_t = 4 * len(K_TAPS) * b * n * r <= SAVE_T_MAX_BYTES
+    op = _make_fused_op(rb, pb, qb, rb_bwd, erf_name, exp_name, interpret,
+                        save_t)
     return op(scene_oc, sigma, mag, albedo, dirs_t, counts)

@@ -177,6 +177,41 @@ def test_pallas_counts_bounded_backward_matches_truncated():
                                    err_msg=f)
 
 
+def test_save_t_backward_matches_recompute():
+    """The saved-T backward (forward materializes T_k, backward skips the
+    pass-A recompute) must produce identical gradients to the flash-style
+    recompute backward, including with counts < N."""
+    from sgrt_tpu.ops.pallas_kernel import render_fused
+
+    rng = np.random.default_rng(13)
+    cap, live, r = 32, 21, 128
+    oc = jnp.asarray(rng.normal(0, 1.5, (2, cap, 3)), jnp.float32)
+    sigma = jnp.asarray(rng.uniform(0.3, 0.6, (2, cap)), jnp.float32)
+    mag = jnp.asarray(rng.uniform(0.5, 1.5, (2, cap)), jnp.float32)
+    mask = (np.arange(cap) < live)[None, :]
+    mag = mag * mask  # inert beyond the live prefix
+    albedo = jnp.asarray(rng.uniform(0, 1, (2, cap, 3)), jnp.float32)
+    d = rng.normal(0, 1, (r, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    dirs_t = jnp.asarray(np.stack([d.T, d.T]), jnp.float32)
+    counts = jnp.asarray([live, cap], jnp.int32)
+
+    def loss(args, save_t):
+        oc_, sig_, mag_, alb_, dirs_ = args
+        c = render_fused(oc_, sig_, mag_, alb_, dirs_, counts, pb=8, qb=8,
+                         save_t=save_t, interpret=True)
+        return jnp.sum(c ** 2)
+
+    args = (oc, sigma, mag, albedo, dirs_t)
+    g_s = jax.grad(lambda a: loss(a, True))(args)
+    g_r = jax.grad(lambda a: loss(a, False))(args)
+    for name, a, b in zip(("oc", "sigma", "mag", "albedo", "dirs"), g_s, g_r):
+        scale = max(np.abs(np.asarray(b)).max(), 1e-8)
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=1e-5,
+                                   err_msg=name)
+
+
 def test_frame_loss_finite_difference_gradients():
     """check_grads through the full tiled frame loss (tiling + gather +
     fused kernel + scatter-add transpose). Tile membership (tile_indices)
