@@ -51,6 +51,8 @@ def main():
     print(f"devices: {len(devices)} x {devices[0].platform} "
           f"({'ICI scaling' if real and len(devices) > 1 else 'mechanics only'})")
 
+    from sgrt_tpu.ops.frame import probe_buckets
+
     scene = scene_from_obj(args.obj)
     cam = orbit_camera(0.0, -4.0, 1.0, args.res, args.res)
     o, dirs = cam.rays()
@@ -68,8 +70,13 @@ def main():
 
     def measure(n_dev):
         mesh = make_mesh(devices[:n_dev]) if n_dev > 1 else None
+        # bucketed scheduler on every mesh size (the sharded path interleaves
+        # each bucket round-robin over devices); sizes must divide the mesh
+        bc = probe_buckets(scene, [0.0], -4.0, 1.0, args.tiles,
+                           multiple_of=max(n_dev, 1))
         step = make_frame_train_step(opt, width=args.res, height=args.res,
-                                     tiles=args.tiles, capacity=cap, mesh=mesh)
+                                     tiles=args.tiles, capacity=cap, mesh=mesh,
+                                     bucket_cfg=bc)
         st = init_state(fresh_noisy(), opt)
         st, l, overflow = step(st, cam.view_matrix, o, dirs, target)
         float(l)

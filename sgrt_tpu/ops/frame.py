@@ -159,9 +159,11 @@ def probe_capacity(scene: GaussianScene, angles, offset, focal_length, tiles):
 
 
 def probe_buckets(scene: GaussianScene, angles, offset, focal_length,
-                  tiles, margin: float = 1.2, dense_frac: float = 0.125):
+                  tiles, margin: float = 1.2, dense_frac: float = 0.125,
+                  multiple_of: int = 1):
     """Host helper: size a BucketConfig over sample orbit angles (the
-    bucketed analog of probe_capacity)."""
+    bucketed analog of probe_capacity). multiple_of: mesh size the buckets
+    must split evenly over (see probe_bucket_config)."""
     from sgrt_tpu.ops.scheduler import probe_bucket_config
 
     views = [
@@ -170,4 +172,5 @@ def probe_buckets(scene: GaussianScene, angles, offset, focal_length,
     ]
     return probe_bucket_config(scene, views, tiles, margin=margin,
                                dense_frac=dense_frac,
-                               focal_length=focal_length)
+                               focal_length=focal_length,
+                               multiple_of=multiple_of)

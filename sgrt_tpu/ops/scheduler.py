@@ -50,15 +50,24 @@ class BucketConfig(NamedTuple):
 
 def probe_bucket_config(scene: GaussianScene, views, tiles,
                         margin: float = 1.2, dense_frac: float = 0.125,
-                        focal_length=1.0) -> BucketConfig:
+                        focal_length=1.0, multiple_of: int = 1) -> BucketConfig:
     """Host-side sizing: over sample view matrices, take the worst-case
     per-tile counts; the dense bucket holds the top `dense_frac` of tiles,
-    sparse capacity covers the largest count that falls outside it."""
+    sparse capacity covers the largest count that falls outside it.
+
+    multiple_of: round n_dense up so both buckets split evenly over a mesh
+    of that many devices (requires t2 % multiple_of == 0); rounding up only
+    moves borderline tiles into the dense bucket, never truncates."""
     from sgrt_tpu.ops.tiling import as_grid
 
     tx, ty = as_grid(tiles)
     t2 = tx * ty
+    if t2 % multiple_of:
+        raise ValueError(f"tile count {t2} not divisible by {multiple_of}")
     n_dense = max(1, int(t2 * dense_frac))
+    n_dense = min(-(-n_dense // multiple_of) * multiple_of, t2 - multiple_of)
+    if n_dense <= 0:   # degenerate grid: single bucket
+        n_dense = 0
     worst_sorted = None
     for view in views:
         counts = jnp.sort(
@@ -76,12 +85,19 @@ def probe_bucket_config(scene: GaussianScene, views, tiles,
 
 
 def bucketed_tile_indices(scene: GaussianScene, view: jnp.ndarray,
-                          tiles, cfg: BucketConfig, focal_length=1.0):
+                          tiles, cfg: BucketConfig, focal_length=1.0,
+                          interleave: int = 1):
     """Per-bucket compacted Gaussian indices.
 
     Returns (dense_ids (D,), idx_dense (D, cap_dense), sparse_ids (S,),
     idx_sparse (S, cap_sparse), counts (T2,)). All shapes static; bucket
     membership (argsort of counts) is per-frame data.
+
+    interleave=D permutes each bucket so a contiguous 1/D slice holds every
+    D-th tile of the count-sorted order — the static round-robin schedule
+    that balances per-device work when the bucket axis is sharded over D
+    devices (the analog of the reference's work-stealing pool,
+    thread-pool.h:9-35, without dynamic stealing).
     """
     member = tile_membership(scene, view, tiles,
                              focal_length=focal_length)    # (T2, N)
@@ -89,6 +105,9 @@ def bucketed_tile_indices(scene: GaussianScene, view: jnp.ndarray,
     order = jnp.argsort(-counts)                           # dense first
     dense_ids = order[: cfg.n_dense]
     sparse_ids = order[cfg.n_dense:]
+    if interleave > 1:
+        dense_ids = dense_ids.reshape(-1, interleave).T.reshape(-1)
+        sparse_ids = sparse_ids.reshape(-1, interleave).T.reshape(-1)
     idx_dense = compact_rows(member[dense_ids], cfg.cap_dense, scene.n)
     idx_sparse = compact_rows(member[sparse_ids], cfg.cap_sparse, scene.n)
     return dense_ids, idx_dense, sparse_ids, idx_sparse, counts

@@ -193,6 +193,92 @@ def make_frame_value_and_grad(
     return vg
 
 
+def _make_sharded_bucketed_step(
+    optimizer, *, mesh, width, height, tiles, bucket_cfg, erf_name,
+    exp_name, masked_scene, focal_length,
+):
+    """Mesh + bucketed scheduler: both bucket tile axes sharded over the
+    mesh with the round-robin interleave (scheduler.bucketed_tile_indices),
+    so every device renders a balanced mix of dense and sparse tiles at
+    bucket-matched capacities — multi-chip steps no longer pay the
+    single-capacity waste the scheduler removes (scheduler.py docstring).
+
+    Tiling/bucketing runs replicated at the global level (cheap O(T²·N)
+    membership + top_k); only the per-tile render — the O(count²·rays)
+    part — is sharded. The reference's analog is the work-stealing pool
+    over per-tile vectors (rt.cpp:64, thread-pool.h:9-35).
+    """
+    import math
+
+    from sgrt_tpu.ops.pallas_kernel import _block_sizes, render_tiles_pallas
+    from sgrt_tpu.ops.render import _tile_rays
+    from sgrt_tpu.ops.scheduler import bucketed_tile_indices
+    from sgrt_tpu.ops.tiling import as_grid, gather_tiles
+
+    n_dev = mesh.devices.size
+    tx_, ty_ = as_grid(tiles)
+    t2 = tx_ * ty_
+    cfg = bucket_cfg
+    if cfg.n_dense % n_dev or (t2 - cfg.n_dense) % n_dev:
+        raise ValueError(
+            f"bucket sizes ({cfg.n_dense}, {t2 - cfg.n_dense}) must divide "
+            f"the mesh ({n_dev} devices); size with "
+            f"probe_buckets(..., multiple_of={n_dev})")
+    pb_d, qb_d = _block_sizes(cfg.cap_dense)
+    pb_s, qb_s = _block_sizes(cfg.cap_sparse)
+    cfg = cfg.round_to(math.lcm(pb_d, qb_d), math.lcm(pb_s, qb_s))
+
+    def local_vg(scene, idx_d, cnt_d, d_d, tgt_d, idx_s, cnt_s, d_s, tgt_s, o):
+        def f(s):
+            ms = masked_scene(s)
+            cd = render_tiles_pallas(gather_tiles(ms, idx_d), o, d_d, cnt_d,
+                                     pb=pb_d, qb=qb_d, erf_name=erf_name,
+                                     exp_name=exp_name)
+            cs = render_tiles_pallas(gather_tiles(ms, idx_s), o, d_s, cnt_s,
+                                     pb=pb_s, qb=qb_s, erf_name=erf_name,
+                                     exp_name=exp_name)
+            # mean over this device's elements; every device holds the same
+            # tile count, so pmean of the means is the global mean
+            return ((jnp.sum((cd - tgt_d) ** 2) + jnp.sum((cs - tgt_s) ** 2))
+                    / (cd.size + cs.size))
+
+        return jax.value_and_grad(f)(scene)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(),) + (P(RAYS_AXIS),) * 8 + (P(),),
+        out_specs=(P(), P()),
+        # pallas_call outputs carry no varying-mesh-axes metadata
+        check_vma=False,
+    )
+    def sharded_vg(scene, *args):
+        loss, grads = local_vg(scene, *args)
+        return (jax.lax.pmean(loss, RAYS_AXIS),
+                jax.lax.pmean(grads, RAYS_AXIS))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: FitState, view, o, dirs, target):
+        dense_ids, idx_d, sparse_ids, idx_s, counts = bucketed_tile_indices(
+            state.scene, view, tiles, cfg, focal_length=focal_length,
+            interleave=n_dev)
+        overflow = (jnp.sum(counts[sparse_ids] > cfg.cap_sparse)
+                    + jnp.sum(counts[dense_ids] > cfg.cap_dense)
+                    ).astype(jnp.int32)
+        d = _tile_rays(dirs, height, width, tiles)
+        target_t = _tile_rays(target.reshape(-1, 3), height, width, tiles)
+        loss, grads = sharded_vg(
+            state.scene, idx_d, counts[dense_ids], d[dense_ids],
+            target_t[dense_ids], idx_s, counts[sparse_ids], d[sparse_ids],
+            target_t[sparse_ids], o)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.scene)
+        scene = optax.apply_updates(state.scene, updates)
+        return FitState(scene, opt_state, state.step + 1), loss, overflow
+
+    return step
+
+
 def make_frame_train_step(
     optimizer: optax.GradientTransformation,
     *,
@@ -226,10 +312,12 @@ def make_frame_train_step(
     rt.h:344-404); the scene is replicated and gradients are pmean'd over
     ICI, overlapped with the backward pass by XLA.
 
-    bucket_cfg (ops.scheduler.BucketConfig, single-device only): dense/
-    sparse capacity bucketing of tiles — big win on skewed scenes like the
-    teapot. With a mesh, per-shard bucketing is future work; the
-    single-capacity path is used.
+    bucket_cfg (ops.scheduler.BucketConfig): dense/sparse capacity
+    bucketing of tiles — big win on skewed scenes like the teapot. With a
+    mesh, each bucket's tile axis is sharded round-robin over devices (the
+    count-sorted interleave of scheduler.bucketed_tile_indices), so every
+    device carries a balanced slice of both buckets; bucket sizes must
+    divide the mesh (probe_buckets(..., multiple_of=D)).
     """
     from sgrt_tpu.ops.pallas_kernel import _block_sizes
     from sgrt_tpu.ops.render import _tile_rays, _untile_image
@@ -279,6 +367,12 @@ def make_frame_train_step(
             for f in ("mu", "sigma", "magnitude", "albedo")
         }
         return GaussianScene(**fields)
+
+    if bucket_cfg is not None and backend == "pallas" and bucket_cfg.n_dense:
+        return _make_sharded_bucketed_step(
+            optimizer, mesh=mesh, width=width, height=height, tiles=tiles,
+            bucket_cfg=bucket_cfg, erf_name=erf_name, exp_name=exp_name,
+            masked_scene=masked_scene, focal_length=focal_length)
 
     def local_vg(scene, idx, counts, o, d, target_t):
         def f(s):
