@@ -153,7 +153,10 @@ def main():
     if os.environ.get("BENCH_SKIP_PARITY") != "1":
         from verify_tpu import run_checks
 
-        parity = run_checks(quick=True)
+        # full 15-check suite by default (teapot tiled fwd + tiled gradients
+        # + oracle, all on this device); BENCH_QUICK_PARITY=1 for the 9-check
+        # subset when iterating.
+        parity = run_checks(quick=os.environ.get("BENCH_QUICK_PARITY") == "1")
         with open("VERIFY_TPU.json", "w") as f:
             json.dump(parity, f, indent=2)
 

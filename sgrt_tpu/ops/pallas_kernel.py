@@ -84,6 +84,89 @@ def _ones_row_sum(x):
 
 
 # ---------------------------------------------------------------------------
+# shared block-loop builders — ONE definition per inner loop (the reference
+# keeps one templated implementation per kernel flavor, rt.h:22-23); every
+# kernel below composes these with reader lambdas for its storage (HBM block
+# refs for the split kernels, VMEM scratch for the fused ones).
+# ---------------------------------------------------------------------------
+
+def _acc_pass(read_mu, read_co, read_inv, mu_p, sig_p, nq, *, pb, qb, rb,
+              erf):
+    """Pass A — the footprint accumulators for one p block:
+    acc_k(p, r) = sum_q co(q,r) * erf((mu_p - mu_q + k*sig_p) * inv_q),
+    q-blocked over the live prefix (nq = cdiv(count, qb) iterations).
+    read_*(start, size) load a Gaussian-axis slice: mu/co → (size, RB),
+    inv → (size, 1). Returns the K_TAPS tuple of (PB, RB) accumulators."""
+
+    def body(qi, accs):
+        q0 = pl.multiple_of(qi * qb, qb)
+        mu_q = read_mu(q0, qb)                               # (QB, RB)
+        co_q = read_co(q0, qb)[None]                         # (1, QB, RB)
+        inv_q = read_inv(q0, qb).reshape(1, qb, 1)
+        darg = (mu_p[:, None, :] - mu_q[None, :, :]) * inv_q  # (PB, QB, RB)
+        ks = sig_p.reshape(pb, 1, 1) * inv_q                  # (PB, QB, 1)
+        return tuple(
+            acc + jnp.sum(co_q * erf(darg + k * ks), axis=1)
+            for acc, k in zip(accs, K_TAPS)
+        )
+
+    acc0 = tuple(jnp.zeros((pb, rb), jnp.float32) for _ in K_TAPS)
+    return jax.lax.fori_loop(0, nq, body, acc0)
+
+
+def _grad_pass(read_mu, read_co, read_inv, dco_s, dmu_s, dinv_s, mu_p, sig_p,
+               G, nq, *, pb, qb, rb, erf_and_gauss):
+    """Pass B — gradient accumulation for one p block given the per-tap
+    upstream factors G_k(p, r) = g(p, r) * T_k(p, r) (dacc_k = -G_k).
+
+    Per-tap arg cotangents dargk = -2/sqrt(pi) * G_k * co_q * gauss(arg_k)
+    are folded into S0 = sum_k dargk and S1 = sum_k k*dargk, from which all
+    mu/sigma/inv reductions follow (off_k = d + k*sig_p ⇒ sum_k dargk*off_k
+    = S0*d + S1*sig_p). Accumulates the q-side gradients into the (N, RB)
+    scratch refs (dco_s, dmu_s, dinv_s) at their q offsets and returns the
+    p-side pair (dmu_p, dsig_p), both (PB, RB)."""
+
+    def body(qi, carry):
+        dmu_p, dsig_p = carry
+        q0 = pl.multiple_of(qi * qb, qb)
+        mu_q = read_mu(q0, qb)
+        co_q = read_co(q0, qb)[None]                         # (1, QB, RB)
+        inv_q = read_inv(q0, qb).reshape(1, qb, 1)
+        dd = mu_p[:, None, :] - mu_q[None, :, :]             # (PB, QB, RB)
+        sig_p3 = sig_p.reshape(pb, 1, 1)
+
+        dco_blk = jnp.zeros((qb, rb), jnp.float32)
+        s0 = jnp.zeros((pb, qb, rb), jnp.float32)
+        s1 = jnp.zeros((pb, qb, rb), jnp.float32)
+        for k, Gk in zip(K_TAPS, G):
+            off = dd + k * sig_p3                            # = arg / inv_q
+            ee, gau = erf_and_gauss(off * inv_q)
+            dco_blk -= jnp.sum(Gk[:, None, :] * ee, axis=0)
+            dargk = (-_DERF) * Gk[:, None, :] * co_q * gau
+            s0 += dargk
+            s1 += k * dargk
+
+        di = s0 * inv_q                                      # (PB, QB, RB)
+        di_q = jnp.sum(di, axis=1)                           # (PB, RB)
+        dco_s[pl.ds(q0, qb), :] += dco_blk
+        dmu_s[pl.ds(q0, qb), :] += -jnp.sum(di, axis=0)
+        dinv_s[pl.ds(q0, qb), :] += jnp.sum(s0 * dd + s1 * sig_p3, axis=0)
+        return dmu_p + di_q, dsig_p + jnp.sum(s1 * inv_q, axis=1)
+
+    z = jnp.zeros((pb, rb), jnp.float32)
+    return jax.lax.fori_loop(0, nq, body, (z, z))
+
+
+def _base_path_grads(db, e1, g1, mu, co, inv, dco_s, dmu_s, dinv_s):
+    """Gradients of base(r) = sum_q co*erf(-mu*inv) given its cotangent
+    db (1, RB) = sum_p g*tw (every tap's T_k carries exp(+base))."""
+    dco_s[:] += db * e1
+    derf1 = _DERF * db * co * g1                             # d/d(arg1)
+    dmu_s[:] += derf1 * (-inv)
+    dinv_s[:] += derf1 * (-mu)
+
+
+# ---------------------------------------------------------------------------
 # forward kernel
 # ---------------------------------------------------------------------------
 
@@ -108,21 +191,11 @@ def _fwd_kernel(counts_ref, mu_full_ref, co_full_ref, sig_ref, inv_ref,
         sig_p = sig_ref[0, pl.ds(p0, pb), :]                     # (PB, 1)
 
         base = _ones_row_sum(co * erf(-mu * inv))                # (1, RB)
-
-        def body(qi, accs):
-            q0 = pl.multiple_of(qi * qb, qb)
-            mu_q = mu_full_ref[0, pl.ds(q0, qb), :]              # (QB, RB)
-            co_q = co_full_ref[0, pl.ds(q0, qb), :][None]        # (1, QB, RB)
-            inv_q = inv_ref[0, pl.ds(q0, qb), :].reshape(1, qb, 1)
-            darg = (mu_p[:, None, :] - mu_q[None, :, :]) * inv_q  # (PB, QB, RB)
-            ks = sig_p.reshape(pb, 1, 1) * inv_q                  # (PB, QB, 1)
-            return tuple(
-                acc + jnp.sum(co_q * erf(darg + k * ks), axis=1)
-                for acc, k in zip(accs, K_TAPS)
-            )
-
-        acc0 = tuple(jnp.zeros((pb, rb), jnp.float32) for _ in K_TAPS)
-        accs = jax.lax.fori_loop(0, nq, body, acc0)
+        accs = _acc_pass(
+            lambda s, l: mu_full_ref[0, pl.ds(s, l), :],
+            lambda s, l: co_full_ref[0, pl.ds(s, l), :],
+            lambda s, l: inv_ref[0, pl.ds(s, l), :],
+            mu_p, sig_p, nq, pb=pb, qb=qb, rb=rb, erf=erf)
         tw = sum(w * exp(base - acc) for w, acc in zip(K_WEIGHTS, accs))
         tw_ref[0] = tw
 
@@ -156,21 +229,11 @@ def _fwd_color_kernel(counts_ref, mu_full_ref, co_full_ref, sig_ref, inv_ref,
         alb_p = alb_ref[0, pl.ds(p0, pb), :]                     # (PB, 3)
 
         base = _ones_row_sum(co * erf(-mu * inv))                # (1, RB)
-
-        def body(qi, accs):
-            q0 = pl.multiple_of(qi * qb, qb)
-            mu_q = mu_full_ref[0, pl.ds(q0, qb), :]              # (QB, RB)
-            co_q = co_full_ref[0, pl.ds(q0, qb), :][None]        # (1, QB, RB)
-            inv_q = inv_ref[0, pl.ds(q0, qb), :].reshape(1, qb, 1)
-            darg = (mu_p[:, None, :] - mu_q[None, :, :]) * inv_q  # (PB, QB, RB)
-            ks = sig_p.reshape(pb, 1, 1) * inv_q                  # (PB, QB, 1)
-            return tuple(
-                acc + jnp.sum(co_q * erf(darg + k * ks), axis=1)
-                for acc, k in zip(accs, K_TAPS)
-            )
-
-        acc0 = tuple(jnp.zeros((pb, rb), jnp.float32) for _ in K_TAPS)
-        accs = jax.lax.fori_loop(0, nq, body, acc0)
+        accs = _acc_pass(
+            lambda s, l: mu_full_ref[0, pl.ds(s, l), :],
+            lambda s, l: co_full_ref[0, pl.ds(s, l), :],
+            lambda s, l: inv_ref[0, pl.ds(s, l), :],
+            mu_p, sig_p, nq, pb=pb, qb=qb, rb=rb, erf=erf)
         tw = sum(w * exp(base - acc) for w, acc in zip(K_WEIGHTS, accs))
         w_p = _SQRT_2_PI * co_p * tw                             # (PB, RB)
         col_ref[0] += jax.lax.dot_general(
@@ -204,66 +267,28 @@ def _bwd_kernel(counts_ref, mu_ref, co_ref, sig_ref, inv_ref, g_ref,
     dinv_s[:] = jnp.zeros(dinv_s.shape, jnp.float32)
     db_s[:] = jnp.zeros(db_s.shape, jnp.float32)
 
+    read_mu = lambda s, l: mu_ref[0, pl.ds(s, l), :]
+    read_co = lambda s, l: co_ref[0, pl.ds(s, l), :]
+    read_inv = lambda s, l: inv_ref[0, pl.ds(s, l), :]
+
     def p_body(pi, _):
         p0 = pl.multiple_of(pi * pb, pb)
         mu_p = mu_ref[0, pl.ds(p0, pb), :]                       # (PB, RB)
         sig_p = sig_ref[0, pl.ds(p0, pb), :]                     # (PB, 1)
         g_p = g_ref[0, pl.ds(p0, pb), :]                         # (PB, RB)
 
-        # --- pass A: recompute acc_k for this p block -------------------
-        def qa_body(qi, accs):
-            q0 = pl.multiple_of(qi * qb, qb)
-            mu_q = mu_ref[0, pl.ds(q0, qb), :]
-            co_q = co_ref[0, pl.ds(q0, qb), :][None]
-            inv_q = inv_ref[0, pl.ds(q0, qb), :].reshape(1, qb, 1)
-            darg = (mu_p[:, None, :] - mu_q[None, :, :]) * inv_q
-            ks = sig_p.reshape(pb, 1, 1) * inv_q
-            return tuple(
-                acc + jnp.sum(co_q * erf(darg + k * ks), axis=1)
-                for acc, k in zip(accs, K_TAPS)
-            )
-
-        acc0 = tuple(jnp.zeros((pb, rb), jnp.float32) for _ in K_TAPS)
-        accs = jax.lax.fori_loop(0, nq_dyn, qa_body, acc0)
+        # pass A: recompute acc_k for this p block
+        accs = _acc_pass(read_mu, read_co, read_inv, mu_p, sig_p, nq_dyn,
+                         pb=pb, qb=qb, rb=rb, erf=erf)
         T = tuple(w * exp(base - acc) for w, acc in zip(K_WEIGHTS, accs))
         tw_p = sum(T)
         db_s[:] += _ones_row_sum(g_p * tw_p)                     # (1, RB)
         G = tuple(g_p * t for t in T)                            # dacc_k = -G_k
 
-        # --- pass B: gradient accumulation ------------------------------
-        def qb_body(qi, carry):
-            dmu_p, dsig_p = carry                                # (PB,RB) x2
-            q0 = pl.multiple_of(qi * qb, qb)
-            mu_q = mu_ref[0, pl.ds(q0, qb), :]
-            co_q = co_ref[0, pl.ds(q0, qb), :][None]             # (1,QB,RB)
-            inv_q = inv_ref[0, pl.ds(q0, qb), :].reshape(1, qb, 1)
-            d = mu_p[:, None, :] - mu_q[None, :, :]              # (PB,QB,RB)
-            sig_p3 = sig_p.reshape(pb, 1, 1)                     # (PB,1,1)
-
-            dco_blk = jnp.zeros((qb, rb), jnp.float32)
-            dmuq_blk = jnp.zeros((qb, rb), jnp.float32)
-            dinv_blk = jnp.zeros((qb, rb), jnp.float32)
-            for k, Gk in zip(K_TAPS, G):
-                off = d + k * sig_p3                              # = arg / inv_q
-                e, gau = erf_and_gauss(off * inv_q)
-                dco_blk -= jnp.sum(Gk[:, None, :] * e, axis=0)
-                # cotangent w.r.t. arg, times inv_q (shared by 3 of 4 grads)
-                dargk = (-_DERF) * Gk[:, None, :] * co_q * gau    # (PB,QB,RB)
-                di = dargk * inv_q                                # (PB,QB,RB)
-                di_q = jnp.sum(di, axis=1)                        # (PB,RB)
-                dmu_p += di_q
-                dmuq_blk -= jnp.sum(di, axis=0)
-                dsig_p += k * di_q
-                dinv_blk += jnp.sum(dargk * off, axis=0)
-
-            dco_s[pl.ds(q0, qb), :] += dco_blk
-            dmu_s[pl.ds(q0, qb), :] += dmuq_blk
-            dinv_s[pl.ds(q0, qb), :] += dinv_blk
-            return dmu_p, dsig_p
-
-        dmu_p0 = jnp.zeros((pb, rb), jnp.float32)
-        dsig_p0 = jnp.zeros((pb, rb), jnp.float32)
-        dmu_p, dsig_p = jax.lax.fori_loop(0, nq_dyn, qb_body, (dmu_p0, dsig_p0))
+        # pass B: gradient accumulation
+        dmu_p, dsig_p = _grad_pass(
+            read_mu, read_co, read_inv, dco_s, dmu_s, dinv_s, mu_p, sig_p,
+            G, nq_dyn, pb=pb, qb=qb, rb=rb, erf_and_gauss=erf_and_gauss)
         dmu_s[pl.ds(p0, pb), :] += dmu_p
         dsig_s[pl.ds(p0, pb), :] += dsig_p
         return 0
@@ -271,11 +296,7 @@ def _bwd_kernel(counts_ref, mu_ref, co_ref, sig_ref, inv_ref, g_ref,
     jax.lax.fori_loop(0, np_dyn, p_body, 0)
 
     # base-path gradients (need the completed db = sum_p g*tw).
-    db = db_s[:]                                                  # (1, RB)
-    dco_s[:] += db * e1
-    derf1 = _DERF * db * co * g1                                  # d/d(arg1)
-    dmu_s[:] += derf1 * (-inv)
-    dinv_s[:] += derf1 * (-mu)
+    _base_path_grads(db_s[:], e1, g1, mu, co, inv, dco_s, dmu_s, dinv_s)
 
     dmu_ref[0] = dmu_s[:]
     dco_ref[0] = dco_s[:]
@@ -325,6 +346,10 @@ def _bwd_color_kernel(counts_ref, mu_ref, co_ref, sig_ref, inv_ref, alb_ref,
     db_s[:] = jnp.zeros(db_s.shape, jnp.float32)
     dalb_s[:] = jnp.zeros(dalb_s.shape, jnp.float32)
 
+    read_mu = lambda s, l: mu_ref[0, pl.ds(s, l), :]
+    read_co = lambda s, l: co_ref[0, pl.ds(s, l), :]
+    read_inv = lambda s, l: inv_ref[0, pl.ds(s, l), :]
+
     def p_body(pi, _):
         p0 = pl.multiple_of(pi * pb, pb)
         mu_p = mu_ref[0, pl.ds(p0, pb), :]                       # (PB, RB)
@@ -335,21 +360,9 @@ def _bwd_color_kernel(counts_ref, mu_ref, co_ref, sig_ref, inv_ref, alb_ref,
         A_p = jnp.dot(alb_p, dcol, preferred_element_type=jnp.float32)
         g_p = _SQRT_2_PI * co_p * A_p                            # (PB, RB)
 
-        # --- pass A: recompute acc_k for this p block -------------------
-        def qa_body(qi, accs):
-            q0 = pl.multiple_of(qi * qb, qb)
-            mu_q = mu_ref[0, pl.ds(q0, qb), :]
-            co_q = co_ref[0, pl.ds(q0, qb), :][None]
-            inv_q = inv_ref[0, pl.ds(q0, qb), :].reshape(1, qb, 1)
-            darg = (mu_p[:, None, :] - mu_q[None, :, :]) * inv_q
-            ks = sig_p.reshape(pb, 1, 1) * inv_q
-            return tuple(
-                acc + jnp.sum(co_q * erf(darg + k * ks), axis=1)
-                for acc, k in zip(accs, K_TAPS)
-            )
-
-        acc0 = tuple(jnp.zeros((pb, rb), jnp.float32) for _ in K_TAPS)
-        accs = jax.lax.fori_loop(0, nq_dyn, qa_body, acc0)
+        # pass A: recompute acc_k for this p block
+        accs = _acc_pass(read_mu, read_co, read_inv, mu_p, sig_p, nq_dyn,
+                         pb=pb, qb=qb, rb=rb, erf=erf)
         T = tuple(w * exp(base - acc) for w, acc in zip(K_WEIGHTS, accs))
         tw_p = sum(T)
         db_s[:] += _ones_row_sum(g_p * tw_p)                     # (1, RB)
@@ -362,39 +375,10 @@ def _bwd_color_kernel(counts_ref, mu_ref, co_ref, sig_ref, inv_ref, alb_ref,
             w_p, dcol, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)                  # (PB, 3)
 
-        # --- pass B: gradient accumulation ------------------------------
-        def qb_body(qi, carry):
-            dmu_p, dsig_p = carry                                # (PB,RB) x2
-            q0 = pl.multiple_of(qi * qb, qb)
-            mu_q = mu_ref[0, pl.ds(q0, qb), :]
-            co_q = co_ref[0, pl.ds(q0, qb), :][None]             # (1,QB,RB)
-            inv_q = inv_ref[0, pl.ds(q0, qb), :].reshape(1, qb, 1)
-            d = mu_p[:, None, :] - mu_q[None, :, :]              # (PB,QB,RB)
-            sig_p3 = sig_p.reshape(pb, 1, 1)                     # (PB,1,1)
-
-            dco_blk = jnp.zeros((qb, rb), jnp.float32)
-            dmuq_blk = jnp.zeros((qb, rb), jnp.float32)
-            dinv_blk = jnp.zeros((qb, rb), jnp.float32)
-            for k, Gk in zip(K_TAPS, G):
-                off = d + k * sig_p3                              # = arg / inv_q
-                e, gau = erf_and_gauss(off * inv_q)
-                dco_blk -= jnp.sum(Gk[:, None, :] * e, axis=0)
-                dargk = (-_DERF) * Gk[:, None, :] * co_q * gau    # (PB,QB,RB)
-                di = dargk * inv_q                                # (PB,QB,RB)
-                di_q = jnp.sum(di, axis=1)                        # (PB,RB)
-                dmu_p += di_q
-                dmuq_blk -= jnp.sum(di, axis=0)
-                dsig_p += k * di_q
-                dinv_blk += jnp.sum(dargk * off, axis=0)
-
-            dco_s[pl.ds(q0, qb), :] += dco_blk
-            dmu_s[pl.ds(q0, qb), :] += dmuq_blk
-            dinv_s[pl.ds(q0, qb), :] += dinv_blk
-            return dmu_p, dsig_p
-
-        dmu_p0 = jnp.zeros((pb, rb), jnp.float32)
-        dsig_p0 = jnp.zeros((pb, rb), jnp.float32)
-        dmu_p, dsig_p = jax.lax.fori_loop(0, nq_dyn, qb_body, (dmu_p0, dsig_p0))
+        # pass B: gradient accumulation
+        dmu_p, dsig_p = _grad_pass(
+            read_mu, read_co, read_inv, dco_s, dmu_s, dinv_s, mu_p, sig_p,
+            G, nq_dyn, pb=pb, qb=qb, rb=rb, erf_and_gauss=erf_and_gauss)
         dmu_s[pl.ds(p0, pb), :] += dmu_p
         dsig_s[pl.ds(p0, pb), :] += dsig_p
         return 0
@@ -402,11 +386,7 @@ def _bwd_color_kernel(counts_ref, mu_ref, co_ref, sig_ref, inv_ref, alb_ref,
     jax.lax.fori_loop(0, np_dyn, p_body, 0)
 
     # base-path gradients (need the completed db = sum_p g*tw).
-    db = db_s[:]                                                  # (1, RB)
-    dco_s[:] += db * e1
-    derf1 = _DERF * db * co * g1                                  # d/d(arg1)
-    dmu_s[:] += derf1 * (-inv)
-    dinv_s[:] += derf1 * (-mu)
+    _base_path_grads(db_s[:], e1, g1, mu, co, inv, dco_s, dmu_s, dinv_s)
 
     dmu_ref[0] = dmu_s[:]
     dco_ref[0] = dco_s[:]
@@ -864,20 +844,11 @@ def _fused_fwd_kernel(counts_ref, oc_ref, sig_ref, mag_ref, alb_ref, dirs_ref,
         co_p = co_s[pl.ds(p0, pb), :]
         alb_p = alb_ref[0, pl.ds(p0, pb), :]                     # (PB, 3)
 
-        def q_body(qi, accs):
-            q0 = pl.multiple_of(qi * qb, qb)
-            mu_q = mb_s[pl.ds(q0, qb), :]                        # (QB, RB)
-            co_q = co_s[pl.ds(q0, qb), :][None]                  # (1, QB, RB)
-            inv_q = inv_s[pl.ds(q0, qb), :].reshape(1, qb, 1)
-            darg = (mu_p[:, None, :] - mu_q[None, :, :]) * inv_q
-            ks = sig_p.reshape(pb, 1, 1) * inv_q
-            return tuple(
-                acc + jnp.sum(co_q * erf(darg + k * ks), axis=1)
-                for acc, k in zip(accs, K_TAPS)
-            )
-
-        acc0 = tuple(jnp.zeros((pb, rb), jnp.float32) for _ in K_TAPS)
-        accs = jax.lax.fori_loop(0, nq_dyn, q_body, acc0)
+        accs = _acc_pass(
+            lambda s, l: mb_s[pl.ds(s, l), :],
+            lambda s, l: co_s[pl.ds(s, l), :],
+            lambda s, l: inv_s[pl.ds(s, l), :],
+            mu_p, sig_p, nq_dyn, pb=pb, qb=qb, rb=rb, erf=erf)
         tw = sum(w * exp(base - acc) for w, acc in zip(K_WEIGHTS, accs))
         w_p = _SQRT_2_PI * co_p * tw
         col_ref[0] += jax.lax.dot_general(
@@ -920,20 +891,11 @@ def _fused_fwd_t_kernel(counts_ref, oc_ref, sig_ref, mag_ref, alb_ref,
         co_p = co_s[pl.ds(p0, pb), :]
         alb_p = alb_ref[0, pl.ds(p0, pb), :]                     # (PB, 3)
 
-        def q_body(qi, accs):
-            q0 = pl.multiple_of(qi * qb, qb)
-            mu_q = mb_s[pl.ds(q0, qb), :]
-            co_q = co_s[pl.ds(q0, qb), :][None]
-            inv_q = inv_s[pl.ds(q0, qb), :].reshape(1, qb, 1)
-            darg = (mu_p[:, None, :] - mu_q[None, :, :]) * inv_q
-            ks = sig_p.reshape(pb, 1, 1) * inv_q
-            return tuple(
-                acc + jnp.sum(co_q * erf(darg + k * ks), axis=1)
-                for acc, k in zip(accs, K_TAPS)
-            )
-
-        acc0 = tuple(jnp.zeros((pb, rb), jnp.float32) for _ in K_TAPS)
-        accs = jax.lax.fori_loop(0, nq_dyn, q_body, acc0)
+        accs = _acc_pass(
+            lambda s, l: mb_s[pl.ds(s, l), :],
+            lambda s, l: co_s[pl.ds(s, l), :],
+            lambda s, l: inv_s[pl.ds(s, l), :],
+            mu_p, sig_p, nq_dyn, pb=pb, qb=qb, rb=rb, erf=erf)
         T = tuple(w * exp(base - acc) for w, acc in zip(K_WEIGHTS, accs))
         for ki, tk in enumerate(T):
             t_ref[0, ki, pl.ds(p0, pb), :] = tk
@@ -1007,40 +969,12 @@ def _fused_bwd_t_kernel(counts_ref, oc_ref, sig_ref, mag_ref, alb_ref,
             w_p, dcol, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-        def qb_body(qi, carry):
-            dmu_p, dsig_p = carry
-            q0 = pl.multiple_of(qi * qb, qb)
-            mu_q = mb_s[pl.ds(q0, qb), :]
-            co_q = co_s[pl.ds(q0, qb), :][None]                  # (1,QB,RB)
-            inv_q = inv_s[pl.ds(q0, qb), :].reshape(1, qb, 1)
-            dd = mu_p[:, None, :] - mu_q[None, :, :]             # (PB,QB,RB)
-            sig_p3 = sig_p.reshape(pb, 1, 1)
-
-            dco_blk = jnp.zeros((qb, rb), jnp.float32)
-            s0 = jnp.zeros((pb, qb, rb), jnp.float32)
-            s1 = jnp.zeros((pb, qb, rb), jnp.float32)
-            for k, Gk in zip(K_TAPS, G):
-                off = dd + k * sig_p3
-                ee, gau = erf_and_gauss(off * inv_q)
-                dco_blk -= jnp.sum(Gk[:, None, :] * ee, axis=0)
-                dargk = (-_DERF) * Gk[:, None, :] * co_q * gau
-                s0 += dargk
-                s1 += k * dargk
-
-            di = s0 * inv_q                                      # (PB,QB,RB)
-            di_q = jnp.sum(di, axis=1)                           # (PB,RB)
-            dmu_p += di_q
-            dsig_p += jnp.sum(s1 * inv_q, axis=1)                # k-weighted
-            dco_s[pl.ds(q0, qb), :] += dco_blk
-            dmb_s[pl.ds(q0, qb), :] += -jnp.sum(di, axis=0)
-            dinv_s[pl.ds(q0, qb), :] += jnp.sum(
-                s0 * dd + s1 * sig_p3, axis=0)
-            return dmu_p, dsig_p
-
-        dmu_p0 = jnp.zeros((pb, rb), jnp.float32)
-        dsig_p0 = jnp.zeros((pb, rb), jnp.float32)
-        dmu_p, dsig_p = jax.lax.fori_loop(0, nq_dyn, qb_body,
-                                          (dmu_p0, dsig_p0))
+        dmu_p, dsig_p = _grad_pass(
+            lambda s, l: mb_s[pl.ds(s, l), :],
+            lambda s, l: co_s[pl.ds(s, l), :],
+            lambda s, l: inv_s[pl.ds(s, l), :],
+            dco_s, dmb_s, dinv_s, mu_p, sig_p, G, nq_dyn,
+            pb=pb, qb=qb, rb=rb, erf_and_gauss=erf_and_gauss)
         dmb_s[pl.ds(p0, pb), :] += dmu_p
         dsig_s[pl.ds(p0, pb), :] += dsig_p
         return 0
@@ -1048,22 +982,33 @@ def _fused_bwd_t_kernel(counts_ref, oc_ref, sig_ref, mag_ref, alb_ref,
     jax.lax.fori_loop(0, np_dyn, p_body, 0)
 
     # base-path gradients (db = sum_p g*tw accumulated above)
-    db = db_s[:]                                                  # (1, RB)
-    dco_s[:] += db * e1
-    derf1 = _DERF * db * co * g1
-    dmb_s[:] += derf1 * (-inv)
-    dinv_s[:] += derf1 * (-mb)
+    _base_path_grads(db_s[:], e1, g1, mb, co, inv, dco_s, dmb_s, dinv_s)
 
-    # ---- chain through the in-kernel prep (same as _fused_bwd_kernel) ----
+    _fused_prep_epilogue(oc, sig, mag, d, mb, co, inv, ocsq, inv2s2,
+                         dmb_s, dco_s, dsig_s, dinv_s, dalb_s,
+                         doc_ref, dsig_ref, dmag_ref, dalb_ref, ddirs_ref, n)
+
+
+def _fused_prep_epilogue(oc, sig, mag, d, mb, co, inv, ocsq, inv2s2,
+                         dmb_s, dco_s, dsig_s, dinv_s, dalb_s,
+                         doc_ref, dsig_ref, dmag_ref, dalb_ref, ddirs_ref, n):
+    """Chain the accumulated (dmb, dco, dsig, dinv) through the in-kernel
+    prep (co = mag*sig*sqrt(2/pi)*exp(-(ocsq - mb^2)*inv2s2), mb = oc @ d,
+    inv = 1/(sqrt2 sig)) to the raw-input gradients, and revisit-accumulate
+    the ray-reduced columns into the output refs across the ray-block grid
+    dimension. The ray-direction gradient (ddirs = oc^T @ dmb) enables
+    camera optimization (NEW vs the forward-only reference); dead rows
+    (>= count) have dmb = 0, so padding contributes nothing."""
     dcoco = dco_s[:] * co                                         # (N, RB)
-    dmb_s[:] += dcoco * (2.0 * inv2s2) * mb
+    dmb_s[:] += dcoco * (2.0 * inv2s2) * mb                       # ∂e/∂mb
     docsq = jnp.sum(dcoco, axis=1, keepdims=True) * (-inv2s2)     # (N, 1)
-    s_row = jnp.sum(dcoco, axis=1, keepdims=True)
+    # ∂co/∂sig = co/sig + co*(ocsq-mb^2)/sig^3;  ∂inv/∂sig = -inv/sig
+    s_row = jnp.sum(dcoco, axis=1, keepdims=True)                 # Σ_r dco*co
     s_qmb = jnp.sum(dcoco * (ocsq - mb * mb), axis=1, keepdims=True)
     dsig_col = (jnp.sum(dsig_s[:], axis=1, keepdims=True)
                 + jnp.sum(dinv_s[:], axis=1, keepdims=True) * (-inv / sig)
                 + s_row / sig + s_qmb / (sig * sig * sig))        # (N, 1)
-    dmag_col = mag * s_row / jnp.where(mag > 0, mag * mag, 1.0)
+    dmag_col = mag * s_row / jnp.where(mag > 0, mag * mag, 1.0)  # = Σ dco*co/mag
     doc = (jax.lax.dot_general(dmb_s[:], d, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
            + 2.0 * oc * docsq)                                    # (N, 3)
@@ -1117,6 +1062,10 @@ def _fused_bwd_kernel(counts_ref, oc_ref, sig_ref, mag_ref, alb_ref, dirs_ref,
     db_s[:] = jnp.zeros(db_s.shape, jnp.float32)
     dalb_s[:] = jnp.zeros(dalb_s.shape, jnp.float32)
 
+    read_mu = lambda s, l: mb_s[pl.ds(s, l), :]
+    read_co = lambda s, l: co_s[pl.ds(s, l), :]
+    read_inv = lambda s, l: inv_s[pl.ds(s, l), :]
+
     def p_body(pi, _):
         p0 = pl.multiple_of(pi * pb, pb)
         mu_p = mb_s[pl.ds(p0, pb), :]
@@ -1126,20 +1075,9 @@ def _fused_bwd_kernel(counts_ref, oc_ref, sig_ref, mag_ref, alb_ref, dirs_ref,
         A_p = jnp.dot(alb_p, dcol, preferred_element_type=jnp.float32)
         g_p = _SQRT_2_PI * co_p * A_p                            # (PB, RB)
 
-        def qa_body(qi, accs):
-            q0 = pl.multiple_of(qi * qb, qb)
-            mu_q = mb_s[pl.ds(q0, qb), :]
-            co_q = co_s[pl.ds(q0, qb), :][None]
-            inv_q = inv_s[pl.ds(q0, qb), :].reshape(1, qb, 1)
-            darg = (mu_p[:, None, :] - mu_q[None, :, :]) * inv_q
-            ks = sig_p.reshape(pb, 1, 1) * inv_q
-            return tuple(
-                acc + jnp.sum(co_q * erf(darg + k * ks), axis=1)
-                for acc, k in zip(accs, K_TAPS)
-            )
-
-        acc0 = tuple(jnp.zeros((pb, rb), jnp.float32) for _ in K_TAPS)
-        accs = jax.lax.fori_loop(0, nq_dyn, qa_body, acc0)
+        # pass A: recompute acc_k for this p block
+        accs = _acc_pass(read_mu, read_co, read_inv, mu_p, sig_p, nq_dyn,
+                         pb=pb, qb=qb, rb=rb, erf=erf)
         T = tuple(w * exp(base - acc) for w, acc in zip(K_WEIGHTS, accs))
         tw_p = sum(T)
         db_s[:] += _ones_row_sum(g_p * tw_p)
@@ -1151,39 +1089,10 @@ def _fused_bwd_kernel(counts_ref, oc_ref, sig_ref, mag_ref, alb_ref, dirs_ref,
             w_p, dcol, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-        def qb_body(qi, carry):
-            dmu_p, dsig_p = carry
-            q0 = pl.multiple_of(qi * qb, qb)
-            mu_q = mb_s[pl.ds(q0, qb), :]
-            co_q = co_s[pl.ds(q0, qb), :][None]
-            inv_q = inv_s[pl.ds(q0, qb), :].reshape(1, qb, 1)
-            dd = mu_p[:, None, :] - mu_q[None, :, :]
-            sig_p3 = sig_p.reshape(pb, 1, 1)
-
-            dco_blk = jnp.zeros((qb, rb), jnp.float32)
-            dmuq_blk = jnp.zeros((qb, rb), jnp.float32)
-            dinv_blk = jnp.zeros((qb, rb), jnp.float32)
-            for k, Gk in zip(K_TAPS, G):
-                off = dd + k * sig_p3
-                ee, gau = erf_and_gauss(off * inv_q)
-                dco_blk -= jnp.sum(Gk[:, None, :] * ee, axis=0)
-                dargk = (-_DERF) * Gk[:, None, :] * co_q * gau
-                di = dargk * inv_q
-                di_q = jnp.sum(di, axis=1)
-                dmu_p += di_q
-                dmuq_blk -= jnp.sum(di, axis=0)
-                dsig_p += k * di_q
-                dinv_blk += jnp.sum(dargk * off, axis=0)
-
-            dco_s[pl.ds(q0, qb), :] += dco_blk
-            dmb_s[pl.ds(q0, qb), :] += dmuq_blk
-            dinv_s[pl.ds(q0, qb), :] += dinv_blk
-            return dmu_p, dsig_p
-
-        dmu_p0 = jnp.zeros((pb, rb), jnp.float32)
-        dsig_p0 = jnp.zeros((pb, rb), jnp.float32)
-        dmu_p, dsig_p = jax.lax.fori_loop(0, nq_dyn, qb_body,
-                                          (dmu_p0, dsig_p0))
+        # pass B: gradient accumulation
+        dmu_p, dsig_p = _grad_pass(
+            read_mu, read_co, read_inv, dco_s, dmb_s, dinv_s, mu_p, sig_p,
+            G, nq_dyn, pb=pb, qb=qb, rb=rb, erf_and_gauss=erf_and_gauss)
         dmb_s[pl.ds(p0, pb), :] += dmu_p
         dsig_s[pl.ds(p0, pb), :] += dsig_p
         return 0
@@ -1191,47 +1100,11 @@ def _fused_bwd_kernel(counts_ref, oc_ref, sig_ref, mag_ref, alb_ref, dirs_ref,
     jax.lax.fori_loop(0, np_dyn, p_body, 0)
 
     # base-path gradients
-    db = db_s[:]                                                  # (1, RB)
-    dco_s[:] += db * e1
-    derf1 = _DERF * db * co * g1
-    dmb_s[:] += derf1 * (-inv)
-    dinv_s[:] += derf1 * (-mb)
+    _base_path_grads(db_s[:], e1, g1, mb, co, inv, dco_s, dmb_s, dinv_s)
 
-    # ---- chain through the in-kernel prep -------------------------------
-    # co = mag*sig*sqrt(2/pi)... (INV_SQRT_2_PI) * e,  e = exp(-(ocsq-mb^2)*inv2s2)
-    dcoco = dco_s[:] * co                                         # (N, RB)
-    dmb_s[:] += dcoco * (2.0 * inv2s2) * mb                       # ∂e/∂mb
-    docsq = jnp.sum(dcoco, axis=1, keepdims=True) * (-inv2s2)     # (N, 1)
-    # ∂co/∂sig = co/sig + co*(ocsq-mb^2)/sig^3;  ∂inv/∂sig = -inv/sig
-    s_row = jnp.sum(dcoco, axis=1, keepdims=True)                 # Σ_r dco*co
-    s_qmb = jnp.sum(dcoco * (ocsq - mb * mb), axis=1, keepdims=True)
-    dsig_col = (jnp.sum(dsig_s[:], axis=1, keepdims=True)
-                + jnp.sum(dinv_s[:], axis=1, keepdims=True) * (-inv / sig)
-                + s_row / sig + s_qmb / (sig * sig * sig))        # (N, 1)
-    dmag_col = mag * s_row / jnp.where(mag > 0, mag * mag, 1.0)  # = Σ dco*co/mag
-    doc = (jax.lax.dot_general(dmb_s[:], d, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-           + 2.0 * oc * docsq)                                    # (N, 3)
-    # ray-direction gradient: mb = oc @ d ⇒ dd = oc^T @ dmb. Dead rows
-    # (>= count) have dmb = 0, so padding contributes nothing. Enables
-    # camera optimization (NEW vs the forward-only reference).
-    ddirs_ref[0] = jax.lax.dot_general(
-        oc, dmb_s[:], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                       # (3, RB)
-
-    i = pl.program_id(1)
-
-    @pl.when(i == 0)
-    def _():
-        doc_ref[0] = jnp.zeros((n, 3), jnp.float32)
-        dsig_ref[0] = jnp.zeros((n, 1), jnp.float32)
-        dmag_ref[0] = jnp.zeros((n, 1), jnp.float32)
-        dalb_ref[0] = jnp.zeros((n, 3), jnp.float32)
-
-    doc_ref[0] += doc
-    dsig_ref[0] += dsig_col
-    dmag_ref[0] += dmag_col
-    dalb_ref[0] += dalb_s[:]
+    _fused_prep_epilogue(oc, sig, mag, d, mb, co, inv, ocsq, inv2s2,
+                         dmb_s, dco_s, dsig_s, dinv_s, dalb_s,
+                         doc_ref, dsig_ref, dmag_ref, dalb_ref, ddirs_ref, n)
 
 
 def _fused_fwd_call(oc, sigma, mag, albedo, dirs_t, counts, *, rb, pb, qb,

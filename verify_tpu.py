@@ -69,11 +69,17 @@ def run_checks(quick: bool = False):
               "checks": {}}
     ok = True
 
+    import time
+
+    t_start = time.perf_counter()
+
     def record(name, err, tol):
         nonlocal ok
         passed = bool(err <= tol)
         ok = ok and passed
         report["checks"][name] = {"max_rel_err": err, "tol": tol, "ok": passed}
+        print(f"[verify {time.perf_counter() - t_start:7.1f}s] {name}: "
+              f"err={err:.2e} {'ok' if passed else 'FAIL'}", file=sys.stderr)
 
     cube = _scene(CUBE_OBJ, 386)
     cam = orbit_camera(30.0, -4.0, 1.0, 64, 64)
