@@ -8,9 +8,13 @@ north-star configuration of BASELINE.json.
 
 Design: shard_map over a 1-D "rays" mesh; each device computes loss +
 gradients on its pixel shard; `jax.lax.pmean` inside the shard_map produces
-the ICI all-reduce, which XLA schedules so it overlaps with the remaining
-backward computation. Parameters are replicated; the optimizer step is
-identical on every device.
+the ICI all-reduce. Parameters are replicated; the optimizer step is
+identical on every device. Collective scheduling is MEASURED, not assumed
+(docs/OVERLAP.md, scripts/overlap.py): XLA combines the per-field pmeans
+into one variadic all-reduce whose payload is the N*8-float scene pytree
+(~KiB) — microseconds on ICI against a multi-ms backward, so backward/
+all-reduce overlap is immaterial at renderer scale and combining (fewer
+launches) is the right schedule.
 """
 
 from __future__ import annotations
@@ -85,7 +89,8 @@ def make_train_step(
         )
         def sharded_vg(scene, o, dirs, target):
             loss, grads = value_and_grad(scene, o, dirs, target)
-            # Gradient all-reduce over ICI; overlapped with backward by XLA.
+            # Gradient all-reduce over ICI (~KiB payload; see module
+            # docstring + docs/OVERLAP.md for the measured schedule).
             grads = jax.lax.pmean(grads, RAYS_AXIS)
             loss = jax.lax.pmean(loss, RAYS_AXIS)
             return loss, grads
