@@ -1,0 +1,154 @@
+"""Fitting-scale envelope — tiling/gather/kernel cost at 10k-100k Gaussians.
+
+The reference only ever tiled N <= 3,644 (teapot); a fitting framework goes
+to 50k-100k immediately. Two stages have superlinear cost in N:
+
+  - tile_membership: dense (T2, N) matrix — O(T2*N), same asymptotics as
+    the reference's tile_gaussians (rt.cpp:29-69) but one XLA fusion;
+  - gather_tiles: one-hot MXU gather is O(rows * N) MACs, so past
+    tiling.ONEHOT_MAX_SCENE_ROWS it switches to the native DMA gather
+    (O(rows)); this script is the measurement behind that threshold.
+
+Procedural scene: N points on a sphere surface (the obj-loader sigma
+heuristic for >=1000 vertices, sigma=0.05), orbit camera, 256x256.
+
+Run on the TPU: python scripts/large_n.py [--n 10000 50000 100000]
+Writes one JSON line per (N, stage). Appends nothing; copy results into
+docs/EFFICIENCY.md by hand (they are hardware numbers).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def sphere_scene(n: int):
+    import jax.numpy as jnp
+
+    from sgrt_tpu.models.gaussians import GaussianScene
+
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=(n, 3)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    albedo = 0.5 * v + 0.5                     # the obj-loader albedo rule
+    return GaussianScene(
+        mu=jnp.asarray(v),
+        sigma=jnp.full((n,), 0.05, jnp.float32),   # >=1000-vertex heuristic
+        magnitude=jnp.ones((n,), jnp.float32),
+        albedo=jnp.asarray(albedo),
+    )
+
+
+def fetch_time(f, n_iter=10, warmup=1):
+    import jax
+    import jax.numpy as jnp
+
+    for _ in range(warmup):
+        r = f()
+    float(jnp.sum(jax.tree_util.tree_leaves(r)[0]))
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        r = f()
+    float(jnp.sum(jax.tree_util.tree_leaves(r)[0]))
+    return (time.perf_counter() - t0) / n_iter
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, nargs="+",
+                    default=[10_000, 50_000, 100_000])
+    ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--tiles", default="auto",
+                    help="'auto' picks a grid fine enough that per-tile "
+                         "counts fit the backward VMEM ceiling "
+                         "(pallas_kernel.MAX_BWD_CAPACITY)")
+    ap.add_argument("--steps", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    import sgrt_tpu.ops.tiling as tiling
+    from sgrt_tpu.ops.frame import (orbit_camera, probe_buckets,
+                                    probe_capacity, render_orbit_frame)
+    from sgrt_tpu.ops.tiling import gather_tiles, tile_indices
+    from sgrt_tpu.parallel.fit import init_state, make_frame_train_step
+
+    res = args.res
+    print(f"device: {jax.devices()[0]}")
+
+    for n in args.n:
+        if args.tiles == "auto":
+            tiles = (16, 32) if n < 16_000 else (
+                (32, 32) if n < 64_000 else (32, 64))
+        else:
+            tiles = tuple(int(v) for v in args.tiles.split("x"))
+        scene = sphere_scene(n)
+        cam = orbit_camera(30.0, -4.0, 1.0, res, res)
+        o, dirs = cam.rays()
+        cap = max(64, int(probe_capacity(scene, [30.0], -4.0, 1.0, tiles) * 1.2))
+        cap_r = -(-cap // 128) * 128
+        row = {"n": n, "tiles": tiles, "capacity": cap_r}
+
+        # stage 1: membership + compaction
+        @jax.jit
+        def ti(s):
+            return tile_indices(s, cam.view_matrix, tiles, cap_r)[0]
+
+        row["tile_indices_ms"] = fetch_time(lambda: ti(scene)) * 1e3
+
+        # stage 2: gather (both strategies, to verify the threshold)
+        idx = ti(scene)
+        saved = tiling.ONEHOT_MAX_SCENE_ROWS
+        for name, thresh in (("gather_native_ms", 0),
+                             ("gather_onehot_ms", 1 << 30)):
+            tiling.ONEHOT_MAX_SCENE_ROWS = thresh
+            g = jax.jit(lambda s, i: gather_tiles(s, i).mu)
+            try:
+                row[name] = fetch_time(lambda: g(scene, idx)) * 1e3
+            except Exception as e:  # OOM at large N is a result, not a crash
+                row[name] = f"failed: {type(e).__name__}"
+        tiling.ONEHOT_MAX_SCENE_ROWS = saved
+
+        # stage 3: full forward frame (bucketed)
+        bc = probe_buckets(scene, [30.0], -4.0, 1.0, tiles, margin=1.2)
+        row["buckets"] = tuple(bc)
+
+        def fwd():
+            img, ovf = render_orbit_frame(
+                scene, 30.0, -4.0, 1.0, width=res, height=res, tiles=tiles,
+                capacity=cap_r, backend="pallas", bucket_cfg=bc)
+            return img
+
+        row["fwd_frame_ms"] = fetch_time(fwd, n_iter=5) * 1e3
+
+        # stage 4: full train step
+        opt = optax.adam(1e-3)
+        step = make_frame_train_step(opt, width=res, height=res, tiles=tiles,
+                                     capacity=cap_r, backend="pallas",
+                                     bucket_cfg=bc)
+        state = init_state(scene, opt)
+        target = jnp.zeros((res, res, 3), jnp.float32)
+        state, loss, ovf = step(state, cam.view_matrix, o, dirs, target)
+        assert int(ovf) == 0, f"overflow at n={n}"
+        float(loss)
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            state, loss, ovf = step(state, cam.view_matrix, o, dirs, target)
+        float(loss)
+        row["train_step_ms"] = (time.perf_counter() - t0) / args.steps * 1e3
+        row["rays_per_s_fwdbwd"] = round(res * res / (row["train_step_ms"] / 1e3))
+        print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()

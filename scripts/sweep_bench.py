@@ -73,12 +73,78 @@ def sweep_scene(name: str, results: list):
                   f"{avg*1e3:8.3f} ms  {rate/1e6:7.2f} Mrays/s", flush=True)
 
 
+def sweep_fwdbwd(name: str, results: list):
+    """North-star sweep: the tiled TRAIN STEP (fwd + custom-VJP bwd +
+    optimizer) across tile grids x dense_frac x saved-T-vs-recompute."""
+    import optax
+
+    import sgrt_tpu.ops.pallas_kernel as pk
+    from sgrt_tpu.ops.frame import orbit_camera
+    from sgrt_tpu.parallel.fit import init_state, make_frame_train_step
+
+    scene = scene_from_obj(OBJS[name])
+    angles = [0.0, 30.0, 45.0, 60.0, 90.0]
+    cam = orbit_camera(30.0, -4.0, 1.0, 256, 256)
+    o, dirs = cam.rays()
+    target, _ = render_orbit_frame(
+        scene, 35.0, -4.0, 1.0, width=256, height=256, tiles=(16, 32),
+        capacity=max(64, int(probe_capacity(scene, angles, -4.0, 1.0,
+                                            (16, 32)) * 1.3)),
+        backend="pallas")
+    opt = optax.adam(1e-3)
+    save_t_default = pk.SAVE_T_MAX_BYTES
+
+    for tiles in (16, (16, 32), (8, 32), (32, 16)):
+        cap = max(64, int(probe_capacity(scene, angles, -4.0, 1.0, tiles) * 1.3))
+        for frac in (0.125, 0.25):
+            bucket = probe_buckets(scene, angles, -4.0, 1.0, tiles,
+                                   margin=1.3, dense_frac=frac)
+            for st_name, st_bytes in (("saveT", 1 << 30), ("recompute", 0)):
+                pk.SAVE_T_MAX_BYTES = st_bytes
+                pk._make_fused_op.cache_clear()
+                try:
+                    step = make_frame_train_step(
+                        opt, width=256, height=256, tiles=tiles,
+                        capacity=cap, backend="pallas", erf_name="as5",
+                        bucket_cfg=bucket)
+                    state = init_state(scene, opt)
+                    state, loss, ovf = step(state, cam.view_matrix, o, dirs,
+                                            target)
+                    assert int(ovf) == 0
+                    float(loss)
+                    best = float("inf")
+                    for _ in range(2):
+                        t0 = time.perf_counter()
+                        for _ in range(15):
+                            state, loss, ovf = step(state, cam.view_matrix,
+                                                    o, dirs, target)
+                        float(loss)
+                        best = min(best, (time.perf_counter() - t0) / 15)
+                except Exception as e:  # noqa: BLE001
+                    print(f"{name} step tiles={str(tiles):8s} frac={frac} "
+                          f"{st_name:9s} FAILED: {type(e).__name__}: "
+                          f"{str(e)[:80]}", flush=True)
+                    continue
+                finally:
+                    pk.SAVE_T_MAX_BYTES = save_t_default
+                rate = 256 * 256 / best
+                results.append((rate, name + "_step", tiles,
+                                f"frac{frac}_{st_name}"))
+                print(f"{name} step tiles={str(tiles):8s} frac={frac} "
+                      f"{st_name:9s} cap={cap:4d} {best*1e3:8.2f} ms  "
+                      f"{rate/1e3:7.1f} Krays/s", flush=True)
+
+
 def main():
-    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    which = args[0] if args else "both"
     names = list(OBJS) if which == "both" else [which]
     results = []
     for name in names:
-        sweep_scene(name, results)
+        if "--fwdbwd" in sys.argv:
+            sweep_fwdbwd(name, results)
+        else:
+            sweep_scene(name, results)
     if results:
         results.sort(reverse=True)
         print("BEST:", results[0])

@@ -719,12 +719,17 @@ def _prep_terms_T(o, dirs, scene: GaussianScene):
 def _block_sizes(n: int) -> tuple[int, int]:
     """Heuristic (pb, qb) from the Gaussian-axis extent: small blocks for
     small tiles (quantization waste), big blocks for big reductions (loop
-    overhead)."""
+    overhead). Above 4096 the backward's live (pb, qb, rb) loop temporaries
+    at (64, 128) exceed VMEM alongside the (n, rb) gradient scratch
+    (measured: capacity 7424 compiles at (32, 64), OOMs at (64, 128)), so
+    fitting-scale capacities drop back to (32, 64)."""
     if n <= 256:
         return 16, 32
     if n <= 1024:
         return 32, 64
-    return 64, 128
+    if n <= 4096:
+        return 64, 128
+    return 32, 64
 
 
 def render_rays_pallas_impl(o, dirs, scene: GaussianScene, *, rb: int = 128,
@@ -743,7 +748,16 @@ def render_rays_pallas_impl(o, dirs, scene: GaussianScene, *, rb: int = 128,
     r = dirs.shape[0]
     rb = min(rb, r)
     pad = (-r) % rb
-    dirs_p = jnp.concatenate([dirs, jnp.ones((pad, 3), dirs.dtype)]) if pad else dirs
+    # pad rays with a UNIT direction: |d| <= 1 keeps mb^2 <= ocsq
+    # (Cauchy-Schwarz), so the in-kernel exp(-(ocsq - mb^2)/2s^2) of dead
+    # rays stays <= 1. A longer pad vector (e.g. ones, |d|=sqrt(3)) can
+    # overflow it to inf, and 0*inf = NaN then poisons the ray-reduced
+    # gradients (doc/dsig/dmag) for every Gaussian.
+    if pad:
+        unit = jnp.zeros((pad, 3), dirs.dtype).at[:, 2].set(1.0)
+        dirs_p = jnp.concatenate([dirs, unit])
+    else:
+        dirs_p = dirs
     counts = jnp.full((1,), n_live, jnp.int32)
     oc = scene.mu - o[None, :]
     colors_t = render_fused(
@@ -1369,6 +1383,15 @@ def _make_fused_op(rb, pb, qb, rb_bwd, erf_name, exp_name, interpret,
 # Auto save-T threshold: residual T is 5*B*N*R floats; above this byte
 # budget the backward falls back to the recompute (flash) path.
 SAVE_T_MAX_BYTES = 1 << 30
+
+# Backward VMEM ceiling on the per-call Gaussian axis (the padded tile
+# capacity): the gradient scratch is 6 (N, RB) f32 buffers plus ~10 skinny
+# (N, 1)/(N, 3) buffers that Mosaic lane-pads to (N, 128). Measured on
+# TPU v5e (128 MiB VMEM): capacity 4096 compiles, 5120 does not. Fitting-
+# scale scenes (50k+ Gaussians) must use tile grids fine enough that
+# per-tile counts stay under this (scripts/large_n.py measures the
+# envelope); training entry points check it up front.
+MAX_BWD_CAPACITY = 4096
 
 
 def render_fused(scene_oc, sigma, mag, albedo, dirs_t, counts=None, *,

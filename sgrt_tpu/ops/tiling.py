@@ -162,6 +162,13 @@ def tile_indices(scene: GaussianScene, view: jnp.ndarray, tiles,
     return compact_rows(member, capacity, scene.n), counts
 
 
+# Above this many scene rows the one-hot matmul's O(rows * N) cost crosses
+# the per-row-DMA cost of a native gather, which is O(rows) in N (measured
+# on TPU v5e, scripts/large_n.py: one-hot wins 15x at N=3.6k, native wins
+# 5x at N=10k — crossover sits between).
+ONEHOT_MAX_SCENE_ROWS = 8192
+
+
 def _onehot_gather(packed: jnp.ndarray, flat_idx: jnp.ndarray,
                    max_elems: int = 16 * 1024 * 1024) -> jnp.ndarray:
     """Row-gather packed (M, C) by flat_idx (R,) via a one-hot MXU matmul.
@@ -171,6 +178,10 @@ def _onehot_gather(packed: jnp.ndarray, flat_idx: jnp.ndarray,
     one-hot matmul is bit-exact (each output row is 1*v + 0*... ) and its
     transpose (the scene-gradient scatter-add) is an equally fast matmul.
     The one-hot buffer is chunked to <= max_elems elements.
+
+    Fitting-scale scenes flip the tradeoff: the one-hot costs O(R * M) MACs
+    while the DMA gather is O(R), so past ONEHOT_MAX_SCENE_ROWS callers
+    (gather_tiles) use the native gather instead.
     """
     m = packed.shape[0]
     r = flat_idx.shape[0]
@@ -208,7 +219,10 @@ def gather_tiles(scene: GaussianScene, idx: jnp.ndarray) -> GaussianScene:
     dummy = jnp.zeros((1, 8), packed.dtype).at[0, 3].set(1.0)
     packed = jnp.concatenate([packed, dummy], axis=0)       # (N+1, 8)
     t2, k = idx.shape
-    out = _onehot_gather(packed, idx.reshape(-1)).reshape(t2, k, 8)
+    if n + 1 > ONEHOT_MAX_SCENE_ROWS:
+        out = packed[idx.reshape(-1)].reshape(t2, k, 8)
+    else:
+        out = _onehot_gather(packed, idx.reshape(-1)).reshape(t2, k, 8)
     return GaussianScene(
         mu=out[..., 0:3],
         sigma=out[..., 3],

@@ -117,6 +117,27 @@ def init_state(scene: GaussianScene, optimizer: optax.GradientTransformation) ->
     return FitState(scene, optimizer.init(scene), jnp.zeros((), jnp.int32))
 
 
+def _check_bwd_capacity(capacity, bucket_cfg, backend):
+    """Fail at build time, not with a 40 s compile-then-VMEM-OOM: the
+    backward kernel's Gaussian axis is bounded by MAX_BWD_CAPACITY
+    (pallas_kernel.py — measured VMEM ceiling). Oversized capacities mean
+    the tile grid is too coarse for the scene's density; use more tiles."""
+    if backend != "pallas":
+        return
+    from sgrt_tpu.ops.pallas_kernel import MAX_BWD_CAPACITY
+
+    caps = [capacity]
+    if bucket_cfg is not None:
+        caps += [bucket_cfg.cap_dense, bucket_cfg.cap_sparse]
+    worst = max(caps)
+    if worst > MAX_BWD_CAPACITY:
+        raise ValueError(
+            f"per-tile capacity {worst} exceeds the backward kernel's VMEM "
+            f"ceiling ({MAX_BWD_CAPACITY}); use a finer tile grid so fewer "
+            "Gaussians land in each tile (scripts/large_n.py measures this "
+            "envelope)")
+
+
 def make_frame_value_and_grad(
     *,
     width: int = 256,
@@ -141,6 +162,7 @@ def make_frame_value_and_grad(
 
     pb, qb = _block_sizes(capacity)
     capacity = -(-capacity // qb) * qb
+    _check_bwd_capacity(capacity, bucket_cfg, backend)
 
     def masked_scene(scene):
         fields = {
@@ -232,6 +254,7 @@ def _make_sharded_bucketed_step(
     pb_d, qb_d = _block_sizes(cfg.cap_dense)
     pb_s, qb_s = _block_sizes(cfg.cap_sparse)
     cfg = cfg.round_to(math.lcm(pb_d, qb_d), math.lcm(pb_s, qb_s))
+    _check_bwd_capacity(cfg.cap_dense, None, "pallas")
 
     def local_vg(scene, idx_d, cnt_d, d_d, tgt_d, idx_s, cnt_s, d_s, tgt_s, o):
         def f(s):
@@ -332,6 +355,7 @@ def make_frame_train_step(
 
     pb, qb = _block_sizes(capacity)
     capacity = -(-capacity // qb) * qb
+    _check_bwd_capacity(capacity, bucket_cfg, backend)
     tx_, ty_ = as_grid(tiles)
     t2 = tx_ * ty_
 

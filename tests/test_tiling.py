@@ -169,3 +169,79 @@ def test_rectangular_grid_matches_square():
         assert int(ovf) == 0
         np.testing.assert_allclose(np.asarray(img), ut, atol=4e-3,
                                    err_msg=str(tiles))
+
+
+def test_gather_native_matches_onehot():
+    """gather_tiles switches to the native DMA gather past
+    ONEHOT_MAX_SCENE_ROWS (fitting-scale scenes, scripts/large_n.py); both
+    strategies must be bit-identical — the one-hot matmul is exact (1*v)."""
+    import numpy as np
+
+    import sgrt_tpu.ops.tiling as tiling
+    from sgrt_tpu.models.gaussians import GaussianScene
+    from sgrt_tpu.ops.tiling import gather_tiles
+
+    rng = np.random.default_rng(3)
+    n = 200
+    scene = GaussianScene(
+        mu=jnp.asarray(rng.normal(size=(n, 3)), jnp.float32),
+        sigma=jnp.asarray(rng.uniform(0.1, 1.0, (n,)), jnp.float32),
+        magnitude=jnp.asarray(rng.uniform(0.5, 1.5, (n,)), jnp.float32),
+        albedo=jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32),
+    )
+    idx = jnp.asarray(
+        rng.integers(0, n + 1, size=(7, 16)), jnp.int32)  # incl. dummy n
+    saved = tiling.ONEHOT_MAX_SCENE_ROWS
+    try:
+        tiling.ONEHOT_MAX_SCENE_ROWS = 1 << 30
+        via_onehot = gather_tiles(scene, idx)
+        tiling.ONEHOT_MAX_SCENE_ROWS = 0
+        via_native = gather_tiles(scene, idx)
+    finally:
+        tiling.ONEHOT_MAX_SCENE_ROWS = saved
+    for f in ("mu", "sigma", "magnitude", "albedo"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(via_onehot, f)),
+            np.asarray(getattr(via_native, f)), err_msg=f)
+
+
+def test_tiling_fitting_scale():
+    """Fitting-scale envelope (N = 50k): membership, compaction and the
+    native-path gather stay correct and static-shaped. The reference's
+    tile_gaussians never faced this N (max 3,644, rt.cpp:29-69)."""
+    import numpy as np
+
+    from sgrt_tpu.models.gaussians import GaussianScene
+    from sgrt_tpu.ops.frame import orbit_camera
+    from sgrt_tpu.ops.tiling import gather_tiles, tile_indices
+
+    n = 50_000
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=(n, 3)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    scene = GaussianScene(
+        mu=jnp.asarray(v),
+        sigma=jnp.full((n,), 0.05, jnp.float32),
+        magnitude=jnp.ones((n,), jnp.float32),
+        albedo=jnp.asarray(0.5 * v + 0.5, jnp.float32),
+    )
+    cam = orbit_camera(30.0, -4.0, 1.0, 8, 8)
+    from sgrt_tpu.ops.tiling import max_tile_count
+
+    cap = -(-max_tile_count(scene, cam.view_matrix, (4, 4)) // 128) * 128
+    idx, counts = tile_indices(scene, cam.view_matrix, (4, 4), cap)
+    assert idx.shape == (16, cap)
+    assert int(jnp.max(counts)) <= cap, "undersized test capacity"
+    tiled = gather_tiles(scene, idx)  # native path (n > threshold)
+    assert tiled.mu.shape == (16, cap, 3)
+    # spot-check one tile row against direct indexing
+    row = np.asarray(idx[3])
+    live = row[row < n]
+    np.testing.assert_array_equal(
+        np.asarray(tiled.mu[3])[: len(live)], v[live])
+    # padding rows must be the inert dummy (sigma=1, magnitude=0)
+    if len(live) < cap:
+        np.testing.assert_array_equal(
+            np.asarray(tiled.sigma[3])[len(live):], 1.0)
+        np.testing.assert_array_equal(
+            np.asarray(tiled.magnitude[3])[len(live):], 0.0)
