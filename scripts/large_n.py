@@ -86,17 +86,20 @@ def main():
     res = args.res
     print(f"device: {jax.devices()[0]}")
 
+    from sgrt_tpu.ops.frame import auto_tile_grid
+
     for n in args.n:
+        scene = sphere_scene(n)
         if args.tiles == "auto":
-            tiles = (16, 32) if n < 16_000 else (
-                (32, 32) if n < 64_000 else (32, 64))
+            tiles, cap = auto_tile_grid(scene, [30.0], -4.0, 1.0,
+                                        margin=1.2)
         else:
             tiles = tuple(int(v) for v in args.tiles.split("x"))
-        scene = sphere_scene(n)
+            cap = max(64, int(probe_capacity(scene, [30.0], -4.0, 1.0,
+                                             tiles) * 1.2))
         cam = orbit_camera(30.0, -4.0, 1.0, res, res)
         o, dirs = cam.rays()
-        cap = max(64, int(probe_capacity(scene, [30.0], -4.0, 1.0, tiles) * 1.2))
-        cap_r = -(-cap // 128) * 128
+        cap_r = min(-(-cap // 128) * 128, 4096)
         row = {"n": n, "tiles": tiles, "capacity": cap_r}
 
         # stage 1: membership + compaction
@@ -147,7 +150,7 @@ def main():
         float(loss)
         row["train_step_ms"] = (time.perf_counter() - t0) / args.steps * 1e3
         row["rays_per_s_fwdbwd"] = round(res * res / (row["train_step_ms"] / 1e3))
-        print(json.dumps(row))
+        print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":

@@ -158,6 +158,28 @@ def probe_capacity(scene: GaussianScene, angles, offset, focal_length, tiles):
     )
 
 
+def auto_tile_grid(scene: GaussianScene, angles, offset, focal_length,
+                   start=(16, 32), margin: float = 1.3):
+    """Smallest power-of-two refinement of `start` whose worst per-tile
+    count (x margin) fits the backward kernel's VMEM ceiling
+    (pallas_kernel.MAX_BWD_CAPACITY) — the fitting-scale sizing rule:
+    denser scenes need finer grids because per-tile cost is count^2 and
+    the kernel's Gaussian axis is VMEM-bounded. Returns ((tx, ty), cap)."""
+    from sgrt_tpu.ops.pallas_kernel import MAX_BWD_CAPACITY
+    from sgrt_tpu.ops.tiling import as_grid
+
+    tx, ty = as_grid(start)
+    while True:
+        cap = max(64, int(probe_capacity(scene, angles, offset, focal_length,
+                                         (tx, ty)) * margin))
+        if cap <= MAX_BWD_CAPACITY or tx * ty >= 8192:
+            return (tx, ty), cap
+        if tx <= ty:
+            tx *= 2
+        else:
+            ty *= 2
+
+
 def probe_buckets(scene: GaussianScene, angles, offset, focal_length,
                   tiles, margin: float = 1.2, dense_frac: float = 0.125,
                   multiple_of: int = 1):
