@@ -109,11 +109,15 @@ def main():
 
         row["tile_indices_ms"] = fetch_time(lambda: ti(scene)) * 1e3
 
-        # stage 2: gather (both strategies, to verify the threshold)
+        # stage 2: gather (both strategies near the threshold; the one-hot
+        # is O(rows * N) MACs — at 50k+ it is minutes per frame, so only
+        # the native path is timed there)
         idx = ti(scene)
         saved = tiling.ONEHOT_MAX_SCENE_ROWS
-        for name, thresh in (("gather_native_ms", 0),
-                             ("gather_onehot_ms", 1 << 30)):
+        strategies = [("gather_native_ms", 0)]
+        if n <= 20_000:
+            strategies.append(("gather_onehot_ms", 1 << 30))
+        for name, thresh in strategies:
             tiling.ONEHOT_MAX_SCENE_ROWS = thresh
             g = jax.jit(lambda s, i: gather_tiles(s, i).mu)
             try:
@@ -121,6 +125,7 @@ def main():
             except Exception as e:  # OOM at large N is a result, not a crash
                 row[name] = f"failed: {type(e).__name__}"
         tiling.ONEHOT_MAX_SCENE_ROWS = saved
+        del idx
 
         # stage 3: full forward frame (bucketed)
         bc = probe_buckets(scene, [30.0], -4.0, 1.0, tiles, margin=1.2)

@@ -1,0 +1,52 @@
+"""CLI round-trips — the main.cpp-compatible surface (SURVEY §2.1 #12):
+default grid scene, obj file, mode selection, TIME/AVG. TIME output, PNG
+and GIF artifacts."""
+
+import os
+import re
+
+import numpy as np
+import pytest
+
+from sgrt_tpu.cli import main
+
+
+def test_cli_grid_png(tmp_path, capsys):
+    out = tmp_path / "grid.png"
+    rc = main(["-g", "2", "-w", "32", "-h", "32", "-q", "-o", str(out),
+               "--tiles", "2", "-m", "8"])
+    assert rc in (0, None)
+    captured = capsys.readouterr().out
+    assert "TIME:" in captured          # main.cpp:310-316 format
+    data = out.read_bytes()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_cli_obj_untiled_mode(tmp_path, capsys):
+    obj = tmp_path / "tri.obj"
+    obj.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\n")
+    out = tmp_path / "tri.png"
+    rc = main(["-f", str(obj), "-w", "16", "-h", "16", "-q", "-o", str(out),
+               "-m", "1"])                      # mode 1-4 = untiled
+    assert rc in (0, None)
+    assert out.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_cli_frames_avg_time(capsys):
+    """Reference prints per-frame TIME only for nr_frames==1, AVG. TIME
+    for multi-frame runs (main.cpp:310-316) — match exactly."""
+    rc = main(["-g", "2", "-w", "16", "-h", "16", "-q", "--frames", "3",
+               "--tiles", "2"])
+    assert rc in (0, None)
+    outp = capsys.readouterr().out
+    assert "AVG. TIME:" in outp
+    assert re.search(r"AVG\. TIME: [\d.]+ ms \(3 frames\)", outp)
+    assert "TIME:" not in outp.replace("AVG. TIME:", "")
+
+
+def test_cli_gif(tmp_path):
+    out = tmp_path / "orbit.gif"
+    rc = main(["-g", "2", "-w", "16", "-h", "16", "-q", "--frames", "2",
+               "--tiles", "2", "--gif", str(out)])
+    assert rc in (0, None)
+    assert out.read_bytes()[:6] in (b"GIF87a", b"GIF89a")
