@@ -125,7 +125,9 @@ def main():
             except Exception as e:  # OOM at large N is a result, not a crash
                 row[name] = f"failed: {type(e).__name__}"
         tiling.ONEHOT_MAX_SCENE_ROWS = saved
-        del idx
+        del idx, g
+        jax.clear_caches()   # drop stage executables; the tunnel runtime
+                             # fragments HBM if they accumulate across N
 
         # stage 3: full forward frame (bucketed)
         bc = probe_buckets(scene, [30.0], -4.0, 1.0, tiles, margin=1.2)
