@@ -70,7 +70,11 @@ def parse():
     for plane in space.planes:
         if "TPU" not in plane.name and "/device" not in plane.name.lower():
             continue
-        ev_names = {i: m.name for i, m in plane.event_metadata.items()}
+        # Full HLO-instruction dumps make unreadable rows; keep only the
+        # instruction name (lhs of " = ") — the shape detail lives in the
+        # trace file itself.
+        ev_names = {i: m.name.split(" = ")[0] for i, m in
+                    plane.event_metadata.items()}
         agg = defaultdict(lambda: [0.0, 0])
         for line in plane.lines:
             for ev in line.events:
