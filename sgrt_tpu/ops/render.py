@@ -106,7 +106,15 @@ def render_rays_impl(o, dirs, scene: GaussianScene, q_block: int = 128, ray_bloc
     scene = pad_scene(scene, q_block)
     r = dirs.shape[0]
     pad = (-r) % ray_block
-    dirs_p = jnp.concatenate([dirs, jnp.ones((pad, 3), dirs.dtype)]) if pad else dirs
+    # Pad rays with a UNIT direction (same fix as render_rays_pallas_impl):
+    # |d| <= 1 keeps mu_bar^2 <= oc_sq (Cauchy-Schwarz) so dead rays can't
+    # overflow cbar's exp to inf — 0*inf = NaN would poison the gradient of
+    # the shared origin even though their colors are sliced away.
+    if pad:
+        unit = jnp.zeros((pad, 3), dirs.dtype).at[:, 2].set(1.0)
+        dirs_p = jnp.concatenate([dirs, unit])
+    else:
+        dirs_p = dirs
     batches = dirs_p.reshape(-1, ray_block, 3)
     f = lambda d: _radiance_block(o, d, scene, q_block)
     colors = jax.lax.map(f, batches).reshape(-1, 3)

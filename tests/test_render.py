@@ -72,3 +72,19 @@ def test_render_rays_gradients_match_oracle(random_scene):
     go = jax.grad(loss_oracle)(random_scene)
     for a, b in zip(jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(go)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-4)
+
+
+def test_origin_gradient_finite_with_ray_padding():
+    """render_rays pads ray batches up to ray_block; the dead rays' forward
+    intermediates must not poison the gradient of the SHARED origin (the
+    same 0*inf=NaN failure fixed in render_rays_pallas_impl — a non-unit
+    pad direction lets mu_bar^2 exceed oc_sq and cbar's exp overflow)."""
+    scene = grid_scene(3)
+    cam = Camera.create(position=(0.0, 0.0, -4.0), width=16, height=16)
+    o, dirs = cam.rays()
+
+    def loss(o):
+        return jnp.sum(render_rays(o, dirs, scene, q_block=16, ray_block=2048))
+
+    g = jax.grad(loss)(o)             # 256 live rays, 1792 padded
+    assert bool(jnp.all(jnp.isfinite(g))), g
