@@ -50,3 +50,21 @@ def test_cli_gif(tmp_path):
                "--tiles", "2", "--gif", str(out)])
     assert rc in (0, None)
     assert out.read_bytes()[:6] in (b"GIF87a", b"GIF89a")
+
+
+def test_fit_cli_roundtrip(tmp_path, capsys):
+    """fit_cli end-to-end: perturb a tiny grid scene, run a few train steps,
+    verify the mu error shrinks and the final PNG is written (BASELINE
+    config 4 surface — no reference analog, the reference is forward-only)."""
+    from sgrt_tpu.fit_cli import main as fit_main
+
+    out = tmp_path / "fitted.png"
+    rc = fit_main(["-g", "2", "-w", "16", "--height", "16", "--tiles", "2",
+                   "--steps", "6", "--views", "2", "--noise", "0.03",
+                   "--lr", "5e-3", "--out", str(out)])
+    assert rc in (0, None)
+    outp = capsys.readouterr().out
+    m = re.search(r"max \|mu error\|: ([\d.]+) -> ([\d.]+)", outp)
+    assert m, outp
+    assert float(m.group(2)) < float(m.group(1))
+    assert out.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
