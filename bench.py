@@ -87,6 +87,10 @@ def bench_cube_mode8():
     assert int(ovf) == 0, "cube bench: tile capacity overflow"
     float(jnp.sum(img))
 
+    # Frames dispatch back-to-back with ONE final fetch: device execution
+    # pipelines behind the dispatch loop (a lax.scan-over-frames variant
+    # measured no faster — 4.40 vs 4.53 ms/frame — pipelining already
+    # hides per-call overhead on this runtime).
     angle_change = 360.0 / frames
     t0 = time.perf_counter()
     for i in range(frames):
@@ -106,7 +110,10 @@ def bench_teapot_fwdbwd():
     from sgrt_tpu.parallel.fit import init_state, make_frame_train_step
 
     scene = load_scene(TEAPOT_OBJ, 3644)
-    tiles_env = os.environ.get("BENCH_TILES", "16x32")
+    # 32x16 (8x16-pixel = 128-ray tiles) won the committed train-step sweep
+    # (docs/SWEEP_FWDBWD.log): 540 Krays/s vs 527 K for 16x32, 1.6x over
+    # square 16x16 grids.
+    tiles_env = os.environ.get("BENCH_TILES", "32x16")
     tiles = (tuple(int(v) for v in tiles_env.split("x"))
              if "x" in tiles_env else int(tiles_env))
     steps = int(os.environ.get("BENCH_STEPS", "30"))
