@@ -338,7 +338,9 @@ def make_frame_train_step(
     With a mesh, tiles are the sharded axis (each device renders T²/D
     tiles — the multi-chip analog of the reference's thread-per-tile pool,
     rt.h:344-404); the scene is replicated and gradients are pmean'd over
-    ICI, overlapped with the backward pass by XLA.
+    ICI (one combined ~KiB variadic all-reduce — see docs/OVERLAP.md for
+    the measured compiled schedule; at this payload size overlap with the
+    backward is immaterial).
 
     bucket_cfg (ops.scheduler.BucketConfig): dense/sparse capacity
     bucketing of tiles — big win on skewed scenes like the teapot. With a
