@@ -65,8 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--exp", default="exact",
                    choices=("exact", "fast", "spline"),
                    help="exp implementation for the transmittance exponentials "
-                        "(fast = the reference's Schraudolph fast_exp; pallas "
-                        "backend only).")
+                        "(fast = the reference's Schraudolph fast_exp); applies "
+                        "on both backends.")
     p.add_argument("--gif", default=None,
                    help="Write all frames as an animated GIF to <file> (gen-gif.sh analog).")
     return p

@@ -110,12 +110,16 @@ def scene_from_vertices(vertices: np.ndarray) -> GaussianScene:
         sigma: N<300 → 0.3, N<1000 → 0.15, else 0.05  (same for all)
         albedo = 0.5*normalize(position) + 0.5
         magnitude = 1
+
+    A vertex at the exact origin gets a mid-gray albedo (0.5, 0.5, 0.5)
+    instead of the reference's undefined glm::normalize(0) (NaN), which
+    would otherwise poison the render and the u8 cast.
     """
     v = np.asarray(vertices, np.float32).reshape(-1, 3)
     n = v.shape[0]
     sigma = 0.3 if n < 300 else (0.15 if n < 1000 else 0.05)
     norm = np.sqrt(np.sum(v * v, axis=-1, keepdims=True))
-    albedo = 0.5 * (v / norm) + 0.5
+    albedo = 0.5 * np.divide(v, norm, out=np.zeros_like(v), where=norm > 0) + 0.5
     return make_scene(v, np.full(n, sigma), np.ones(n), albedo)
 
 

@@ -75,7 +75,10 @@ def _render_orbit_frame_impl(
     std::vector, rt.cpp:64), so a nonzero overflow is a sizing error the
     caller must surface. backend="pallas" routes the hot erf reduction
     through the fused Pallas kernel (ops.pallas_kernel); "xla" uses the
-    pure-jnp formulation (ops.render).
+    pure-jnp formulation (ops.render). erf_name/exp_name select the
+    approximation on BOTH backends (the reference templates every render
+    path over Exp/Erf, rt.h:22-23); "exact" on the Pallas backend means the
+    f32-exact as5.
     """
     cam = orbit_camera(angle_deg, offset, focal_length, width, height)
     o, dirs = cam.rays()
@@ -86,7 +89,8 @@ def _render_orbit_frame_impl(
             colors = render_rays_pallas_impl(o, dirs, scene, erf_name=erf_name,
                                              exp_name=exp_name)
         else:
-            colors = render_rays_impl(o, dirs, scene, q_block, ray_block)
+            colors = render_rays_impl(o, dirs, scene, q_block, ray_block,
+                                      erf_name=erf_name, exp_name=exp_name)
         return colors.reshape(height, width, 3), jnp.zeros((), jnp.int32)
 
     if backend == "pallas" and bucket_cfg is not None:
@@ -129,7 +133,8 @@ def _render_orbit_frame_impl(
 
     def one_tile(args):
         tile_scene, tile_dirs = args
-        return _radiance_block(o, tile_dirs, tile_scene, qb)
+        return _radiance_block(o, tile_dirs, tile_scene, qb, erf_name,
+                               exp_name)
 
     chunked = jax.tree_util.tree_map(
         lambda a: a.reshape(t2 // tb, tb, *a.shape[1:]), (tiled, d)
@@ -144,7 +149,7 @@ render_orbit_frame = jax.jit(_render_orbit_frame_impl,
 
 
 def render_orbit_frames(scene: GaussianScene, angles, offset=-4.0,
-                        focal_length=1.0, *, chunk: int = 10, **cfg):
+                        focal_length=1.0, **cfg):
     """Render a whole orbit sequence → (imgs (F, H, W, 3), overflow scalar
     summed over frames). Per-frame re-tiling, same work per frame as
     render_orbit_frame (the reference's frame loop, main.cpp:257-335).
@@ -154,9 +159,8 @@ def render_orbit_frames(scene: GaussianScene, angles, offset=-4.0,
     forces completion. (Measured on the TPU: a lax.scan-over-frames variant
     was NOT faster — pipelined dispatch already hides per-call overhead,
     4.53 vs 4.40 ms/frame on the cube orbit — and cost minutes of extra
-    compile; `chunk` is kept in the signature for compatibility but unused.)
+    compile.)
     """
-    del chunk
     angles = jnp.asarray(angles, jnp.float32)
     imgs, ovfs = [], []
     for i in range(angles.shape[0]):

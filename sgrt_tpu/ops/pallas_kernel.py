@@ -69,6 +69,14 @@ def _auto_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _kernel_erf_name(name: str) -> str:
+    """"exact" → "as5" inside kernels: jax.lax.erf does not lower through
+    Mosaic, and the A&S 5-term polynomial IS the f32-exact erf (|err| below
+    f32 resolution — approx.py). Lets callers use one erf_name across both
+    backends."""
+    return "as5" if name == "exact" else name
+
+
 def _dslice(a, start, size):
     """Dynamic row-slice of a materialized array (pl.ds works on refs only)."""
     return jax.lax.dynamic_slice_in_dim(a, start, size, 0)
@@ -530,6 +538,7 @@ def tw_pallas(mu_bar, coeff, sigma, inv, counts=None, *, rb: int = 128,
     live-prefix lengths (None → all N live) → tw (B, N, R).
     R % rb == 0 (rays on lanes), N % pb == N % qb == 0 with pb, qb
     multiples of 8 (pad with inert Gaussians)."""
+    erf_name = _kernel_erf_name(erf_name)
     if interpret is None:
         interpret = _auto_interpret()
     b, n, r = mu_bar.shape
@@ -677,6 +686,7 @@ def colors_pallas(mu_bar, coeff, sigma, inv, albedo, counts=None, *,
     """Fully-fused radiance kernel: Gaussian-major inputs (see tw_pallas),
     plus albedo (B, N, 3) → colors (B, 3, R). The albedo matmul and the
     transmittance-weight reduction run in one kernel; tw never hits HBM."""
+    erf_name = _kernel_erf_name(erf_name)
     if interpret is None:
         interpret = _auto_interpret()
     b, n, r = mu_bar.shape
@@ -1404,6 +1414,7 @@ def render_fused(scene_oc, sigma, mag, albedo, dirs_t, counts=None, *,
     HBM; backward returns scene-shaped gradients only. Differentiable via
     the in-kernel analytic VJP, including w.r.t. ray directions (camera
     optimization — NEW vs the forward-only reference)."""
+    erf_name = _kernel_erf_name(erf_name)
     if interpret is None:
         interpret = _auto_interpret()
     b, n, _ = scene_oc.shape

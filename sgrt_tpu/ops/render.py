@@ -42,7 +42,18 @@ from sgrt_tpu.ops.reference import INV_SQRT_2_PI, K_TAPS, SQRT_2
 K_WEIGHTS = np.exp(-(K_TAPS**2) / 2.0).astype(np.float32)
 
 
-def _ray_gaussian_terms(o, dirs, scene: GaussianScene):
+def _resolve_approx(erf_name: str, exp_name: str):
+    """Resolve approximation names → (erf_fn, exp_fn). The XLA analog of the
+    reference templating every render path over Exp/Erf (rt.h:22-23,
+    defaults approx.h:110-127) — the same registry the Pallas kernels use,
+    so `--erf/--exp` act identically on both backends."""
+    from sgrt_tpu.ops.approx import ERF_IMPLS, EXP_IMPLS
+
+    return ERF_IMPLS[erf_name], EXP_IMPLS[exp_name]
+
+
+def _ray_gaussian_terms(o, dirs, scene: GaussianScene, erf_fn=erf,
+                        exp_fn=jnp.exp):
     """Shared per-(ray, Gaussian) precomputation.
 
     dirs: (R,3). Returns mu_bar (R,N), cbar (R,N), coeff (R,N), inv (N,),
@@ -53,23 +64,27 @@ def _ray_gaussian_terms(o, dirs, scene: GaussianScene):
     # mu_bar feeds erf arguments — needs full f32, not TPU's default bf16 matmul.
     mu_bar = jnp.matmul(dirs, oc.T, precision=jax.lax.Precision.HIGHEST)  # (R,N)
     inv_2s2 = 1.0 / (2.0 * scene.sigma**2)         # (N,)
-    cbar = scene.magnitude[None, :] * jnp.exp(
+    cbar = scene.magnitude[None, :] * exp_fn(
         -(oc_sq[None, :] - mu_bar**2) * inv_2s2[None, :]
     )
     coeff = (scene.sigma * INV_SQRT_2_PI)[None, :] * cbar
     inv = 1.0 / (SQRT_2 * scene.sigma)             # (N,)
-    base = jnp.sum(coeff * erf(-mu_bar * inv[None, :]), axis=-1)  # (R,)
+    base = jnp.sum(coeff * erf_fn(-mu_bar * inv[None, :]), axis=-1)  # (R,)
     return mu_bar, cbar, coeff, inv, base
 
 
-def _radiance_block(o, dirs, scene: GaussianScene, q_block: int) -> jnp.ndarray:
+def _radiance_block(o, dirs, scene: GaussianScene, q_block: int,
+                    erf_name: str = "exact",
+                    exp_name: str = "exact") -> jnp.ndarray:
     """Radiance for one block of rays: dirs (R,3) → (R,3).
 
     The O(R * 5N * N) erf reduction runs as a lax.scan over q-blocks so the
     pairwise intermediate stays (R, q_block, 5N).
     """
+    erf_fn, exp_fn = _resolve_approx(erf_name, exp_name)
     n = scene.n
-    mu_bar, cbar, coeff, inv, base = _ray_gaussian_terms(o, dirs, scene)
+    mu_bar, cbar, coeff, inv, base = _ray_gaussian_terms(o, dirs, scene,
+                                                         erf_fn, exp_fn)
 
     # Sample points s(r, p, k) = mu_bar(r,p) + k*sigma_p, flattened to (R, 5N).
     s = (mu_bar[:, :, None] + K_TAPS[None, None, :] * scene.sigma[None, :, None])
@@ -88,21 +103,25 @@ def _radiance_block(o, dirs, scene: GaussianScene, q_block: int) -> jnp.ndarray:
         mu_q, co_q, inv_q = blk                     # (Qb,R), (Qb,R), (Qb,)
         # (R, Qb, 5N): the only pairwise intermediate.
         args = (s[:, None, :] - mu_q.T[:, :, None]) * inv_q[None, :, None]
-        acc = acc + jnp.sum(co_q.T[:, :, None] * erf(args), axis=1)
+        acc = acc + jnp.sum(co_q.T[:, :, None] * erf_fn(args), axis=1)
         return acc, None
 
     acc0 = jnp.zeros_like(s)
     acc, _ = jax.lax.scan(body, acc0, (mu_bar_b, coeff_b, inv_b))
 
-    T = jnp.exp(base[:, None] - acc).reshape(-1, n, 5)       # (R,N,5)
+    T = exp_fn(base[:, None] - acc).reshape(-1, n, 5)        # (R,N,5)
     tw = jnp.matmul(T, K_WEIGHTS, precision=jax.lax.Precision.HIGHEST)  # (R,N)
     weights = scene.sigma[None, :] * cbar * tw                # (R,N)
     return jnp.matmul(weights, scene.albedo, precision=jax.lax.Precision.HIGHEST)
 
 
-def render_rays_impl(o, dirs, scene: GaussianScene, q_block: int = 128, ray_block: int = 2048):
+def render_rays_impl(o, dirs, scene: GaussianScene, q_block: int = 128,
+                     ray_block: int = 2048, erf_name: str = "exact",
+                     exp_name: str = "exact"):
     """Unjitted render of a batch of rays → colors (R,3). Differentiable;
-    compose with jit/shard_map/grad as needed."""
+    compose with jit/shard_map/grad as needed. erf_name/exp_name select the
+    approximation (ops.approx registries), as the reference's templated
+    renderers do (rt.h:22-23)."""
     scene = pad_scene(scene, q_block)
     r = dirs.shape[0]
     pad = (-r) % ray_block
@@ -116,19 +135,23 @@ def render_rays_impl(o, dirs, scene: GaussianScene, q_block: int = 128, ray_bloc
     else:
         dirs_p = dirs
     batches = dirs_p.reshape(-1, ray_block, 3)
-    f = lambda d: _radiance_block(o, d, scene, q_block)
+    f = lambda d: _radiance_block(o, d, scene, q_block, erf_name, exp_name)
     colors = jax.lax.map(f, batches).reshape(-1, 3)
     return colors[:r]
 
 
-render_rays = jax.jit(render_rays_impl, static_argnames=("q_block", "ray_block"))
+render_rays = jax.jit(render_rays_impl,
+                      static_argnames=("q_block", "ray_block", "erf_name",
+                                       "exp_name"))
 
 
 def render(scene: GaussianScene, camera: Camera, origin=None,
-           q_block: int = 128, ray_block: int = 2048) -> jnp.ndarray:
+           q_block: int = 128, ray_block: int = 2048,
+           erf_name: str = "exact", exp_name: str = "exact") -> jnp.ndarray:
     """Full-frame fused render → float32 (H, W, 3), unclamped."""
     o, dirs = camera.rays(origin)
-    colors = render_rays(o, dirs, scene, q_block=q_block, ray_block=ray_block)
+    colors = render_rays(o, dirs, scene, q_block=q_block, ray_block=ray_block,
+                         erf_name=erf_name, exp_name=exp_name)
     return colors.reshape(camera.height, camera.width, 3)
 
 
@@ -155,9 +178,11 @@ def _untile_image(colors: jnp.ndarray, h: int, w: int, tiles) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("h", "w", "tiles", "capacity", "q_block", "tile_batch")
+    jax.jit, static_argnames=("h", "w", "tiles", "capacity", "q_block",
+                              "tile_batch", "erf_name", "exp_name")
 )
-def _render_tiled_jit(scene, view, o, dirs, h, w, tiles, capacity, q_block, tile_batch):
+def _render_tiled_jit(scene, view, o, dirs, h, w, tiles, capacity, q_block,
+                      tile_batch, erf_name="exact", exp_name="exact"):
     from sgrt_tpu.ops.tiling import gather_tiles, tile_indices
 
     idx, counts = tile_indices(scene, view, tiles, capacity)
@@ -168,7 +193,8 @@ def _render_tiled_jit(scene, view, o, dirs, h, w, tiles, capacity, q_block, tile
 
     def one_tile(args):
         tile_scene, tile_dirs = args
-        return _radiance_block(o, tile_dirs, tile_scene, qb)
+        return _radiance_block(o, tile_dirs, tile_scene, qb, erf_name,
+                               exp_name)
 
     # Chunked map over tiles: vmap within a chunk (parallel lanes), lax.map
     # across chunks (bounds the pairwise intermediate).
@@ -185,7 +211,8 @@ def _render_tiled_jit(scene, view, o, dirs, h, w, tiles, capacity, q_block, tile
 
 def render_tiled(scene: GaussianScene, camera: Camera, origin=None, tiles: int = 16,
                  capacity: int | None = None, q_block: int = 128, tile_batch: int = 16,
-                 check_overflow: bool = True) -> jnp.ndarray:
+                 check_overflow: bool = True, erf_name: str = "exact",
+                 exp_name: str = "exact") -> jnp.ndarray:
     """Tiled + culled full-frame render (modes 5-8 analog) → (H, W, 3).
 
     Per-frame tile assignment runs on-device (the reference re-tiles on host
@@ -208,7 +235,8 @@ def render_tiled(scene: GaussianScene, camera: Camera, origin=None, tiles: int =
     capacity = max(q_block, -(-capacity // q_block) * q_block)
     img, counts = _render_tiled_jit(
         scene, camera.view_matrix, o, dirs,
-        h=h, w=w, tiles=tiles, capacity=capacity, q_block=q_block, tile_batch=tile_batch,
+        h=h, w=w, tiles=tiles, capacity=capacity, q_block=q_block,
+        tile_batch=tile_batch, erf_name=erf_name, exp_name=exp_name,
     )
     if check_overflow and int(jnp.max(counts)) > capacity:
         raise ValueError(

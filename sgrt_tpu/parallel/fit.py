@@ -333,7 +333,8 @@ def make_frame_train_step(
     overflow (scalar int32) counts tiles whose true member count exceeded
     `capacity` this step — a nonzero value means Gaussians were dropped from
     the loss AND its gradients (the reference never truncates: per-tile
-    std::vector, rt.cpp:64). Callers must check it; fit() raises on it.
+    std::vector, rt.cpp:64). Callers must check it (scripts/fit_demo.py and
+    verify_tpu.py assert it is 0 every step; the CLI warns).
 
     With a mesh, tiles are the sharded axis (each device renders T²/D
     tiles — the multi-chip analog of the reference's thread-per-tile pool,
@@ -473,14 +474,15 @@ def fit(
     losses = []
     for i in range(steps):
         state, loss = step_fn(state, o, dirs, target)
-        if callback is not None or (i + 1) % max(steps // 10, 1) == 0:
-            lv = float(loss)
-            losses.append(lv)
-            if callback is not None:
-                callback(i, lv)
+        # Keep the device array: appending doesn't force a host sync, so
+        # dispatch still pipelines; the dense history is realized once at
+        # the end.
+        losses.append(loss)
+        if callback is not None:
+            callback(i, float(loss))
         if mgr is not None and (i + 1) % checkpoint_every == 0:
             save_fit(mgr, int(state.step), state)
     if mgr is not None:
         save_fit(mgr, int(state.step), state)
         mgr.wait_until_finished()
-    return state.scene, losses
+    return state.scene, [float(l) for l in losses]

@@ -94,10 +94,14 @@ async function refresh() {
   const t0 = performance.now();
   const resp = await fetch('/render?' + p.toString());
   const ms = resp.headers.get('X-Render-Ms');
+  const ovf = parseInt(resp.headers.get('X-Overflow') || '0');
   const blob = await resp.blob();
   document.getElementById('view').src = URL.createObjectURL(blob);
-  document.getElementById('stats').textContent =
-    `device render: ${ms} ms   round-trip: ${(performance.now()-t0).toFixed(1)} ms`;
+  const stats = document.getElementById('stats');
+  stats.textContent =
+    `device render: ${ms} ms   round-trip: ${(performance.now()-t0).toFixed(1)} ms` +
+    (ovf ? `   OVERFLOW: ${ovf} tile(s) over capacity — frame inexact` : '');
+  stats.style.color = ovf ? '#f55' : '#8f8';
   busy = false;
   if (dirty) { dirty = false; refresh(); }
 }
@@ -259,7 +263,7 @@ def make_handler(scene, width, height, tiles, capacity):
                     magnitude=edited.magnitude * float(q.get("mag", 1)),
                 )
                 t0 = time.perf_counter()
-                img, _ = render_orbit_frame(
+                img, overflow = render_orbit_frame(
                     edited,
                     float(q.get("angle", 30)),
                     float(q.get("offset", -4)),
@@ -273,8 +277,12 @@ def make_handler(scene, width, height, tiles, capacity):
                 img_np = np.asarray(img)  # device sync
                 ms = (time.perf_counter() - t0) * 1e3
                 png = encode_png(to_rgba_u8(img_np))
+                # Surface capacity overflow (silently dropped Gaussians) to
+                # the page — an edit that pushes a tile past the probe-time
+                # capacity must not render wrong with no indication.
                 self._send(200, "image/png", png,
-                           extra=(("X-Render-Ms", f"{ms:.1f}"),))
+                           extra=(("X-Render-Ms", f"{ms:.1f}"),
+                                  ("X-Overflow", str(int(overflow)))))
             else:
                 self._send(404, "text/plain", b"not found")
 

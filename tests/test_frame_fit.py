@@ -170,17 +170,17 @@ def test_camera_angle_recovery():
     assert err < 0.5, f"angle recovered to {float(angle)} (err {err})"
 
 
-def test_render_orbit_frames_scan_matches_per_frame():
-    """The chunked-scan orbit renderer (dispatch-amortized bench/GIF path)
-    must reproduce render_orbit_frame exactly, frame by frame, including
-    the non-multiple-of-chunk tail."""
+def test_render_orbit_frames_matches_per_frame():
+    """The pipelined-dispatch orbit renderer (bench/GIF path: frames
+    dispatched without host syncs, stacked once at the end) must reproduce
+    render_orbit_frame exactly, frame by frame."""
     from sgrt_tpu.models.gaussians import grid_scene
     from sgrt_tpu.ops.frame import render_orbit_frame, render_orbit_frames
 
     scene = grid_scene(3)
     angles = [0.0, 17.0, 33.0, 51.0, 72.0]
     imgs, ovf = render_orbit_frames(scene, angles, width=32, height=32,
-                                    tiles=4, capacity=32, chunk=2)
+                                    tiles=4, capacity=32)
     assert imgs.shape == (5, 32, 32, 3)
     assert int(ovf) == 0
     for i, a in enumerate(angles):

@@ -69,6 +69,43 @@ def test_image_mse_exp_stacks(oracle, erf_name, exp_name, mse_bound):
     assert float(np.abs(img).max()) > 0.01
 
 
+@pytest.mark.parametrize(
+    "erf_name,exp_name,mse_bound",
+    [
+        ("exact", "exact", 1e-10),  # fused-vs-oracle numerical noise only
+        ("as5", "exact", 1e-10),
+        ("as3", "exact", 1e-8),
+        ("as3", "fast", 1e-4),      # the reference's "MINE" stack
+        ("taylor", "exact", 1e-2),
+    ],
+)
+def test_xla_backend_mse_per_stack(oracle, erf_name, exp_name, mse_bound):
+    """The approximation axis on the XLA (pure-jnp) backend: --erf/--exp
+    must act there too, with the same accuracy ordering as the Pallas
+    kernels (the reference templates EVERY render path over Exp/Erf,
+    rt.h:22-23; defaults approx.h:110-127)."""
+    from sgrt_tpu.ops.render import render_rays_impl
+
+    scene, o, dirs, ref = oracle
+    img = np.asarray(render_rays_impl(o, dirs, scene, erf_name=erf_name,
+                                      exp_name=exp_name))
+    mse = float(np.mean((img - ref) ** 2))
+    assert mse <= mse_bound, f"{erf_name}+{exp_name}: MSE {mse:.3e}"
+    assert float(np.abs(img).max()) > 0.01
+
+
+def test_xla_backend_approx_changes_image(oracle):
+    """Guard against the silent no-op the round-3 review flagged: selecting
+    a lossy stack on the XLA backend must actually change the pixels."""
+    from sgrt_tpu.ops.render import render_rays_impl
+
+    scene, o, dirs, _ = oracle
+    exact = np.asarray(render_rays_impl(o, dirs, scene))
+    lossy = np.asarray(render_rays_impl(o, dirs, scene, erf_name="taylor",
+                                        exp_name="fast"))
+    assert float(np.mean((exact - lossy) ** 2)) > 1e-8
+
+
 def test_exp_stack_differentiable(oracle):
     """Gradients flow through the approximated-exp kernel (backward pass
     recomputes T with the same exp choice)."""
