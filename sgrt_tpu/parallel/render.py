@@ -44,3 +44,118 @@ def render_sharded(scene: GaussianScene, camera: Camera, mesh: Mesh, origin=None
     dirs = shard_rays(mesh, dirs)
     colors = render_rays_sharded(mesh, o, dirs, scene, q_block, ray_block)
     return colors.reshape(camera.height, camera.width, 3)
+
+
+def make_sharded_frame_renderer(
+    mesh: Mesh,
+    *,
+    width: int = 256,
+    height: int = 256,
+    tiles: int = 16,
+    capacity: int = 128,
+    bucket_cfg=None,
+    erf_name: str = "as5",
+    exp_name: str = "exact",
+    focal_length=1.0,
+):
+    """Multi-chip FORWARD on the production (Pallas, tiled) backend.
+
+    Returns a jitted render(scene, view, o, dirs) → (image (H, W, 3),
+    overflow scalar int32). Tiles are the sharded axis — each device runs
+    the fused kernel on its tile slice (the multi-chip analog of the
+    reference's thread-per-tile pool, rt.h:344-404) with the scene
+    replicated and ZERO collectives (rendering is embarrassingly parallel
+    over rays). With bucket_cfg, both scheduler buckets are sharded with
+    the round-robin interleave of the count-sorted tile order, so every
+    device carries a balanced dense/sparse mix; bucket sizes must divide
+    the mesh (frame.probe_buckets(..., multiple_of=D)).
+
+    This is the forward-only sibling of fit._make_sharded_bucketed_step:
+    the flagship kernel exercised under shard_map without the train loop.
+    """
+    import math
+
+    from sgrt_tpu.ops.pallas_kernel import _block_sizes, render_tiles_pallas
+    from sgrt_tpu.ops.render import _tile_rays, _untile_image
+    from sgrt_tpu.ops.scheduler import bucketed_tile_indices
+    from sgrt_tpu.ops.tiling import as_grid, gather_tiles, tile_indices
+
+    n_dev = mesh.devices.size
+    tx, ty = as_grid(tiles)
+    t2 = tx * ty
+
+    if bucket_cfg is not None and bucket_cfg.n_dense:
+        cfg = bucket_cfg
+        if cfg.n_dense % n_dev or (t2 - cfg.n_dense) % n_dev:
+            raise ValueError(
+                f"bucket sizes ({cfg.n_dense}, {t2 - cfg.n_dense}) must "
+                f"divide the mesh ({n_dev} devices); size with "
+                f"probe_buckets(..., multiple_of={n_dev})")
+        pb_d, qb_d = _block_sizes(cfg.cap_dense)
+        pb_s, qb_s = _block_sizes(cfg.cap_sparse)
+        cfg = cfg.round_to(math.lcm(pb_d, qb_d), math.lcm(pb_s, qb_s))
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(),) + (P(RAYS_AXIS),) * 4 + (P(),),
+            out_specs=(P(RAYS_AXIS), P(RAYS_AXIS)),
+            # pallas_call outputs carry no varying-mesh-axes metadata
+            check_vma=False,
+        )
+        def sharded_render(scene, idx_d, cnt_d, d_d, d_s_pack, o):
+            idx_s, cnt_s, d_s = d_s_pack
+            cd = render_tiles_pallas(gather_tiles(scene, idx_d), o, d_d,
+                                     cnt_d, pb=pb_d, qb=qb_d,
+                                     erf_name=erf_name, exp_name=exp_name)
+            cs = render_tiles_pallas(gather_tiles(scene, idx_s), o, d_s,
+                                     cnt_s, pb=pb_s, qb=qb_s,
+                                     erf_name=erf_name, exp_name=exp_name)
+            return cd, cs
+
+        @jax.jit
+        def render(scene, view, o, dirs):
+            dense_ids, idx_d, sparse_ids, idx_s, counts = bucketed_tile_indices(
+                scene, view, tiles, cfg, focal_length=focal_length,
+                interleave=n_dev)
+            overflow = (jnp.sum(counts[sparse_ids] > cfg.cap_sparse)
+                        + jnp.sum(counts[dense_ids] > cfg.cap_dense)
+                        ).astype(jnp.int32)
+            d = _tile_rays(dirs, height, width, tiles)
+            cd, cs = sharded_render(
+                scene, idx_d, counts[dense_ids], d[dense_ids],
+                (idx_s, counts[sparse_ids], d[sparse_ids]), o)
+            colors = jnp.zeros((t2,) + cs.shape[1:], cs.dtype)
+            colors = colors.at[sparse_ids].set(cs).at[dense_ids].set(cd)
+            return _untile_image(colors, height, width, tiles), overflow
+
+        return render
+
+    # single-capacity path: the whole tile axis sharded evenly
+    if t2 % n_dev:
+        raise ValueError(f"tile count {t2} not divisible by mesh ({n_dev})")
+    pb, qb = _block_sizes(capacity)
+    cap = -(-capacity // math.lcm(pb, qb)) * math.lcm(pb, qb)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(RAYS_AXIS), P(RAYS_AXIS), P(RAYS_AXIS), P()),
+        out_specs=P(RAYS_AXIS),
+        check_vma=False,
+    )
+    def sharded_render(scene, idx, cnt, d, o):
+        return render_tiles_pallas(gather_tiles(scene, idx), o, d, cnt,
+                                   pb=pb, qb=qb, erf_name=erf_name,
+                                   exp_name=exp_name)
+
+    @jax.jit
+    def render(scene, view, o, dirs):
+        idx, counts = tile_indices(scene, view, tiles, cap,
+                                   focal_length=focal_length)
+        overflow = jnp.sum(counts > cap).astype(jnp.int32)
+        d = _tile_rays(dirs, height, width, tiles)
+        colors = sharded_render(scene, idx, counts, d, o)
+        return _untile_image(colors, height, width, tiles), overflow
+
+    return render

@@ -79,6 +79,54 @@ def test_fit_reduces_loss(mesh):
     assert last < first * 0.5, (first, last)
 
 
+def test_sharded_pallas_forward_matches_single(mesh):
+    """The PRODUCTION (Pallas, tiled) forward under shard_map — tiles
+    sharded over 8 devices — must match the single-device frame pipeline
+    pixel-for-pixel (round-3 gap: the flagship kernel was sharded only
+    inside the train step)."""
+    from sgrt_tpu.models.gaussians import grid_scene
+    from sgrt_tpu.ops.frame import orbit_camera, render_orbit_frame
+    from sgrt_tpu.parallel.render import make_sharded_frame_renderer
+
+    scene = grid_scene(3)
+    single, ovf_s = render_orbit_frame(scene, 30.0, width=32, height=32,
+                                       tiles=4, capacity=32,
+                                       backend="pallas")
+    cam = orbit_camera(30.0, -4.0, 1.0, 32, 32)
+    o, dirs = cam.rays()
+    renderer = make_sharded_frame_renderer(mesh, width=32, height=32,
+                                           tiles=4, capacity=32)
+    sharded, ovf = renderer(replicate(mesh, scene), cam.view_matrix, o, dirs)
+    assert int(ovf) == int(ovf_s) == 0
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=1e-4, atol=5e-5)
+
+
+def test_sharded_pallas_forward_bucketed_matches_single(mesh):
+    """Same parity with the bucketed scheduler: both bucket tile axes
+    sharded with the round-robin interleave."""
+    from sgrt_tpu.models.gaussians import grid_scene
+    from sgrt_tpu.ops.frame import orbit_camera
+    from sgrt_tpu.ops.render import _tile_rays, _untile_image
+    from sgrt_tpu.ops.scheduler import BucketConfig, render_tiles_bucketed
+    from sgrt_tpu.parallel.render import make_sharded_frame_renderer
+
+    scene = grid_scene(3)
+    cfg = BucketConfig(n_dense=8, cap_dense=32, cap_sparse=16)
+    cam = orbit_camera(30.0, -4.0, 1.0, 32, 32)
+    o, dirs = cam.rays()
+    d = _tile_rays(dirs, 32, 32, 4)
+    colors, _, ovf_s = render_tiles_bucketed(scene, cam.view_matrix, o, d,
+                                             cfg, tiles=4)
+    single = _untile_image(colors, 32, 32, 4)
+    renderer = make_sharded_frame_renderer(mesh, width=32, height=32,
+                                           tiles=4, bucket_cfg=cfg)
+    sharded, ovf = renderer(replicate(mesh, scene), cam.view_matrix, o, dirs)
+    assert int(ovf) == int(ovf_s) == 0
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=1e-4, atol=5e-5)
+
+
 def test_fit_api_single_device():
     o, dirs = CAM.rays()
     target = render_rays(o, dirs, SCENE, q_block=8, ray_block=16)
