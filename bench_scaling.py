@@ -77,7 +77,7 @@ def main():
         step = make_frame_train_step(opt, width=args.res, height=args.res,
                                      tiles=args.tiles, capacity=cap, mesh=mesh,
                                      bucket_cfg=bc)
-        st = init_state(fresh_noisy(), opt)
+        st = init_state(fresh_noisy(), opt, mesh)
         st, l, overflow = step(st, cam.view_matrix, o, dirs, target)
         float(l)
         assert int(overflow) == 0, f"capacity {cap} overflowed ({int(overflow)} tiles)"

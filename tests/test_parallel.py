@@ -46,7 +46,7 @@ def test_sharded_gradients_match_single(mesh):
 
     dirs_s, target_s = shard_rays(mesh, dirs, target)
     scene_r = replicate(mesh, SCENE)
-    s1 = init_state(scene_r, opt)
+    s1 = init_state(scene_r, opt, mesh)
     _, loss_sharded = step_sharded(s1, o, dirs_s, target_s)
 
     # Per-shard mean + pmean reassociates the f32 reduction: tiny drift ok.
@@ -69,7 +69,7 @@ def test_fit_reduces_loss(mesh):
 
     opt = optax.adam(2e-2)
     step = make_train_step(opt, mesh=mesh, q_block=8, ray_block=16)
-    state = init_state(noisy_r, opt)
+    state = init_state(noisy_r, opt, mesh)
     first = None
     for _ in range(30):
         state, loss = step(state, o, dirs_s, target_s)
@@ -125,6 +125,25 @@ def test_sharded_pallas_forward_bucketed_matches_single(mesh):
     assert int(ovf) == int(ovf_s) == 0
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
                                rtol=1e-4, atol=5e-5)
+
+
+def test_mesh_step_compiles_once(mesh):
+    """Feeding a mesh step's output state back in must NOT recompile: the
+    output scene carries NamedSharding(mesh, P()), so init_state must place
+    the initial state identically (a sharding flip-flop silently doubled
+    compile time and poisoned every timed loop — found on the TPU where the
+    hidden second compile cost ~30 s/step)."""
+    o, dirs = CAM.rays()
+    target = jnp.zeros_like(dirs)
+    opt = optax.adam(1e-2)
+    step = make_train_step(opt, mesh=mesh, q_block=8, ray_block=16)
+    dirs_s, target_s = shard_rays(mesh, dirs, target)
+    state = init_state(SCENE, opt, mesh)
+    for _ in range(3):
+        state, _ = step(state, o, dirs_s, target_s)
+    assert step._cache_size() == 1, (
+        f"mesh train step compiled {step._cache_size()} times; input/output "
+        "state shardings disagree")
 
 
 def test_fit_api_single_device():
