@@ -194,6 +194,12 @@ def _onehot_gather(packed: jnp.ndarray, flat_idx: jnp.ndarray,
     r = flat_idx.shape[0]
     cols = jnp.arange(m, dtype=flat_idx.dtype)
 
+    # checkpoint: the one-hot matrix must NOT be saved as an autodiff
+    # residual — under the chunked lax.map below, saving it for every chunk
+    # materializes (n_chunks, rows_per_chunk, M) in HBM (measured 42 GB for
+    # the teapot at 512^2). Rematerializing it makes the backward the
+    # equally-fast transpose matmul oh^T @ g with O(rows) residuals.
+    @jax.checkpoint
     def chunk_gather(ix):
         oh = (ix[:, None] == cols[None, :]).astype(packed.dtype)
         # explicit HIGHEST: bit-exactness must not depend on the ambient

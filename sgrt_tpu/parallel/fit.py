@@ -151,6 +151,32 @@ def _check_bwd_capacity(capacity, bucket_cfg, backend):
             "envelope)")
 
 
+def _xla_tile_render(tiled, o, d, q_block: int, tile_batch: int):
+    """Chunked per-tile render on the XLA backend: lax.map over tile
+    batches bounds the (tb, P, qb, 5K) pairwise intermediate — a plain
+    vmap over every tile OOMs at 512+ resolutions (measured: 42 GB HBM
+    request for the teapot at 512^2)."""
+    from sgrt_tpu.ops.render import _radiance_block
+
+    t2 = d.shape[0]
+    tb = min(tile_batch, t2)
+    while t2 % tb:
+        tb -= 1
+
+    # checkpoint per tile: without it the backward of the chunked map saves
+    # every chunk's scan residuals — O(T2 * rays * 5K) in HBM (measured
+    # 32 GB for the teapot at 512^2). Rematerializing keeps residuals at
+    # the gathered tile inputs.
+    @jax.checkpoint
+    def one_tile(args):
+        tile_scene, tile_dirs = args
+        return _radiance_block(o, tile_dirs, tile_scene, q_block)
+
+    chunked = jax.tree_util.tree_map(
+        lambda a: a.reshape(t2 // tb, tb, *a.shape[1:]), (tiled, d))
+    return jax.lax.map(jax.vmap(one_tile), chunked).reshape(t2, -1, 3)
+
+
 def make_frame_value_and_grad(
     *,
     width: int = 256,
@@ -163,6 +189,8 @@ def make_frame_value_and_grad(
     trainable: tuple[str, ...] = ("mu", "sigma", "magnitude", "albedo"),
     bucket_cfg=None,
     focal_length=1.0,
+    q_block: int = 128,
+    tile_batch: int = 16,
 ):
     """Single-device frame loss+gradient: vg(scene, view, o, dirs, target)
     → ((loss, overflow), grads). The gradient core of make_frame_train_step,
@@ -192,11 +220,8 @@ def make_frame_value_and_grad(
 
             return render_tiles_pallas(tiled, o, d, counts, pb=pb, qb=qb,
                                        erf_name=erf_name, exp_name=exp_name)
-        from sgrt_tpu.ops.render import _radiance_block
-
-        return jax.vmap(
-            lambda ts, td: _radiance_block(o, td, ts, min(128, capacity))
-        )(tiled, d)
+        return _xla_tile_render(tiled, o, d, min(q_block, capacity),
+                                tile_batch)
 
     if bucket_cfg is not None and backend == "pallas":
         from sgrt_tpu.ops.scheduler import render_tiles_bucketed
@@ -401,9 +426,7 @@ def make_frame_train_step(
 
             return render_tiles_pallas(tiled, o, d, counts, pb=pb, qb=qb,
                                        erf_name=erf_name, exp_name=exp_name)
-        from sgrt_tpu.ops.render import _radiance_block
-
-        return jax.vmap(lambda ts, td: _radiance_block(o, td, ts, min(128, capacity)))(tiled, d)
+        return _xla_tile_render(tiled, o, d, min(128, capacity), 16)
 
     def masked_scene(scene):
         fields = {
