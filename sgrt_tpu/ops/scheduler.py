@@ -48,12 +48,52 @@ class BucketConfig(NamedTuple):
         )
 
 
+# Extra cost of the second bucket launch, in erf-equivalents: kernel
+# dispatch + the separate gather + the scatter reassembly, ~4 ms at the
+# ~120 Gerf/s kernel rate (docs/EFFICIENCY.md). Bucketing must save at
+# least this much work to pay for itself — on low-skew scenes like the
+# cube a single launch wins (measured: 8.6 vs 13.4 ms/frame), on the
+# teapot (~30x skew, mostly-empty sparse tiles) buckets win by ~15%
+# (59.5 vs 69.9 ms same session).
+LAUNCH_OVERHEAD_ERF = 5e8
+
+# Per capacity-row-per-ray cost that is NOT count-bounded, in
+# erf-equivalents: the one-hot gather, the in-kernel prep matmul/exp, the
+# base pass, and block DMA all scale with the bucket CAPACITY even for
+# near-empty tiles. Calibrated on the teapot (32,16) frame: the measured
+# single-vs-bucketed gap (~10 ms) over the capacity-row delta gives ~10
+# erf-equivalents per row*ray.
+LINEAR_ERF_PER_ROW_RAY = 10.0
+
+
+def _quantized_work_erf(counts, cap, rays_per_tile):
+    """erf-work model of the count-bounded kernel over `counts` at capacity
+    `cap` (the quant term mirrors scripts/efficiency.py::kernel_work_erf):
+    ceil(c/pb)pb x ceil(c/qb)qb pair blocks x 5 taps, plus the linear
+    capacity-proportional costs (gather/prep/base/DMA), x rays."""
+    import numpy as np
+
+    from sgrt_tpu.ops.pallas_kernel import _block_sizes
+
+    pb, qb = _block_sizes(cap)
+    c = np.maximum(np.asarray(counts, np.int64), 0)
+    quant = (np.ceil(c / pb) * pb * np.ceil(c / qb) * qb * 5).sum()
+    linear = len(c) * cap * LINEAR_ERF_PER_ROW_RAY
+    return float(quant + linear) * rays_per_tile
+
+
 def probe_bucket_config(scene: GaussianScene, views, tiles,
                         margin: float = 1.2, dense_frac: float = 0.125,
-                        focal_length=1.0, multiple_of: int = 1) -> BucketConfig:
+                        focal_length=1.0, multiple_of: int = 1,
+                        rays_per_tile: int = 128) -> BucketConfig:
     """Host-side sizing: over sample view matrices, take the worst-case
     per-tile counts; the dense bucket holds the top `dense_frac` of tiles,
     sparse capacity covers the largest count that falls outside it.
+
+    Bucketing is ADAPTIVE: the two-launch split is kept only when the
+    quantized-work saving beats the second launch's overhead
+    (LAUNCH_OVERHEAD_ERF); otherwise n_dense=0 selects the single-launch
+    path (render_tiles_bucketed then issues one kernel).
 
     multiple_of: round n_dense up so both buckets split evenly over a mesh
     of that many devices (requires t2 % multiple_of == 0); rounding up only
@@ -80,6 +120,13 @@ def probe_bucket_config(scene: GaussianScene, views, tiles,
     cap_dense = max(32, int(float(worst[0]) * margin))
     cap_sparse = max(32, int(float(worst[n_dense]) * margin))
     if cap_sparse >= cap_dense:   # no skew — one bucket is enough
+        return BucketConfig(0, cap_dense, cap_dense)
+    w_single = _quantized_work_erf(worst, cap_dense, rays_per_tile)
+    w_bucket = (_quantized_work_erf(worst[:n_dense], cap_dense, rays_per_tile)
+                + _quantized_work_erf(worst[n_dense:], cap_sparse,
+                                      rays_per_tile)
+                + LAUNCH_OVERHEAD_ERF)
+    if w_single <= w_bucket:
         return BucketConfig(0, cap_dense, cap_dense)
     return BucketConfig(n_dense, cap_dense, cap_sparse)
 
