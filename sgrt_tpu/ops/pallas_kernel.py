@@ -727,19 +727,17 @@ def _prep_terms_T(o, dirs, scene: GaussianScene):
 
 
 def _block_sizes(n: int) -> tuple[int, int]:
-    """Heuristic (pb, qb) from the Gaussian-axis extent: small blocks for
-    small tiles (quantization waste), big blocks for big reductions (loop
-    overhead). Above 4096 the backward's live (pb, qb, rb) loop temporaries
-    at (64, 128) exceed VMEM alongside the (n, rb) gradient scratch
-    (measured: capacity 7424 compiles at (32, 64), OOMs at (64, 128)), so
-    fitting-scale capacities drop back to (32, 64)."""
+    """Heuristic (pb, qb) from the Gaussian-axis extent. Swept on the chip
+    (round 4, teapot dense bucket cap 1792, 128-ray tiles): SMALL blocks
+    win at every capacity — (8, 32) beats the old (64, 128) by 16% on the
+    forward (27.8 vs 33.2 ms) and 44% on fwd+bwd (65.1 vs 115.8 ms; the
+    backward's 5-tap (PB, QB, RB) loop temporaries stop thrashing VMEM and
+    bwd drops to 1.34x fwd, the saved-T work model's prediction). Small
+    caps keep qb=16 to cut count-quantization waste (cube: 8.6 vs 9.4 ms).
+    """
     if n <= 256:
-        return 16, 32
-    if n <= 1024:
-        return 32, 64
-    if n <= 4096:
-        return 64, 128
-    return 32, 64
+        return 8, 16
+    return 8, 32
 
 
 def render_rays_pallas_impl(o, dirs, scene: GaussianScene, *, rb: int = 128,
