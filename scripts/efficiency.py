@@ -218,11 +218,12 @@ def frame_report(scene, tiles, bucket_cfg, label, rows, decomp=None):
     float(loss)
     t_step = (time.perf_counter() - t0) / n_it
 
-    # fwd+bwd model: bwd = pass A (taps erf) + pass B (taps erf_and_gauss,
-    # counted as 1 erf-equivalent each) ≈ 2x fwd main loop + base.
-    # (The saved-T backward skips pass A, so its true erf-work is ~1x fwd;
-    # the 2x model is the recompute upper bound — achieved % is conservative.)
-    w_bwd = 2 * w
+    # fwd+bwd model: the production backward is saved-T (pass A skipped;
+    # only the gradient q-pass remains, whose erf_and_gauss taps count as
+    # 1 erf-equivalent each) ≈ 1x the forward's pair work. Measured on the
+    # chip (round 4, (8,32) blocks): bwd-only = 0.9-1.3x fwd — the model
+    # matches. (The recompute backward would be 2x.)
+    w_bwd = w
     rows.append((label + "_fwd", t_fwd, w))
     rows.append((label + "_step", t_step, w + w_bwd))
 
@@ -258,6 +259,12 @@ def main():
     print(f"backend: {backend} device: {jax.devices()[0]}")
     fma_peak, exp_peak, erf_peak = measure_peaks()
     kernel_peak = measure_kernel_peak()
+
+    # per-call dispatch+fetch floor of this (tunneled) runtime — the lower
+    # bound on any frame time regardless of kernel speed
+    nop = jax.jit(lambda x: x * 1.0000001)
+    x = jnp.ones((256, 3), jnp.float32)
+    t_nop = _fetch_time(lambda: nop(x), n_iter=30)
     print(f"measured peaks: fma {fma_peak/1e12:.2f} TFLOP/s, "
           f"exp {exp_peak/1e9:.1f} Gexp/s, erf_as5 {erf_peak/1e9:.1f} Gerf/s, "
           f"fused kernel {kernel_peak/1e9:.1f} Gerf/s")
@@ -290,6 +297,7 @@ def main():
         f"| `jnp.exp` throughput (in-kernel, slope) | {exp_peak/1e9:.1f} Gexp/s |",
         f"| `erf_as5` standalone (serial-accumulate chain) | {erf_peak/1e9:.1f} Gerf/s |",
         f"| **fused production kernel, full occupancy** | **{kernel_peak/1e9:.1f} Gerf/s** |",
+        f"| per-call dispatch+fetch floor (this runtime) | {t_nop*1e3:.2f} ms |",
         "",
         f"The fused kernel beats the standalone erf chain (its taps/blocks",
         "interleave where the microbench stalls on a serial accumulate), so",
@@ -303,7 +311,11 @@ def main():
         "",
         "erf-work = exact count-quantized work model of the count-bounded",
         "p/q loops (ceil(c/pb)pb x ceil(c/qb)qb x rays x 5 taps + base pass).",
-        "Backward ≈ 2x forward erf-work (recompute pass A + gradient pass B).",
+        "Backward ≈ 1x forward erf-work (saved-T: pass A skipped, gradient",
+        "q-pass only; measured bwd-only = 0.9-1.3x fwd on this config).",
+        "Small scenes (cube) are DISPATCH-bound on this tunneled runtime:",
+        "the per-call dispatch floor below is comparable to their whole",
+        "device time, so their achieved % understates the kernel.",
         "",
         "| kernel | time (ms) | erf-work | achieved Gerf/s | % of kernel peak |",
         "|---|---|---|---|---|",
