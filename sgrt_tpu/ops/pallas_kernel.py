@@ -498,7 +498,12 @@ def _bwd_call(mu_bar, coeff, sigma, inv, counts, g, *, rb, pb, qb, erf_name,
     return dmu, dco, dsig[:, :, 0], dinv[:, :, 0]
 
 
-@functools.lru_cache(maxsize=None)
+# bounded: config sweeps (scripts/sweep_bench.py) and long-lived servers
+# (viewer) would otherwise accumulate compiled executables for the process
+# lifetime; 64 distinct (block, erf, exp) configs is far above any
+# production working set, and eviction only costs a re-trace (XLA's own
+# compilation cache still holds the executable).
+@functools.lru_cache(maxsize=64)
 def _make_tw_op(rb, pb, qb, rb_bwd, erf_name, exp_name, interpret):
     """Cached custom-VJP op for a (block config, erf impl) pair.
 
@@ -647,7 +652,12 @@ def _bwd_color_call(mu_bar, coeff, sigma, inv, albedo, counts, dcol, *, rb,
     return dmu, dco, dsig[:, :, 0], dinv[:, :, 0], dalb
 
 
-@functools.lru_cache(maxsize=None)
+# bounded: config sweeps (scripts/sweep_bench.py) and long-lived servers
+# (viewer) would otherwise accumulate compiled executables for the process
+# lifetime; 64 distinct (block, erf, exp) configs is far above any
+# production working set, and eviction only costs a re-trace (XLA's own
+# compilation cache still holds the executable).
+@functools.lru_cache(maxsize=64)
 def _make_color_op(rb, pb, qb, rb_bwd, erf_name, exp_name, interpret):
     """Cached custom-VJP color op.
 
@@ -1331,7 +1341,12 @@ def _fused_bwd_call(oc, sigma, mag, albedo, dirs_t, counts, dcol, *, rb, pb,
     return doc, dsig[:, :, 0], dmag[:, :, 0], dalb, ddirs
 
 
-@functools.lru_cache(maxsize=None)
+# bounded: config sweeps (scripts/sweep_bench.py) and long-lived servers
+# (viewer) would otherwise accumulate compiled executables for the process
+# lifetime; 64 distinct (block, erf, exp) configs is far above any
+# production working set, and eviction only costs a re-trace (XLA's own
+# compilation cache still holds the executable).
+@functools.lru_cache(maxsize=64)
 def _make_fused_op(rb, pb, qb, rb_bwd, erf_name, exp_name, interpret,
                    save_t=False):
     """Fully-fused custom-VJP op.
