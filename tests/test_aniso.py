@@ -1,0 +1,155 @@
+"""Anisotropic (diagonal-covariance) Gaussians — oracle-based tests.
+
+Strategy mirrors the isotropic suite (SURVEY §4): numerical Riemann
+integration validates the closed form; the literal-quadrature oracle
+validates the fused path; autodiff of the oracle validates gradients; the
+isotropic embedding must reproduce the isotropic renderer exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgrt_tpu.models.camera import Camera
+from sgrt_tpu.models.gaussians import grid_scene, make_scene
+from sgrt_tpu.ops import anisotropic as an
+from sgrt_tpu.ops.render import render_rays_impl
+
+
+def _aniso_scene():
+    rng = np.random.default_rng(7)
+    n = 8
+    mu = rng.uniform(-0.8, 0.8, (n, 3)).astype(np.float32)
+    mu[:, 2] = rng.uniform(0.5, 1.5, n)
+    scale = rng.uniform(0.08, 0.4, (n, 3)).astype(np.float32)
+    mag = rng.uniform(0.5, 1.5, n).astype(np.float32)
+    alb = rng.uniform(0.0, 1.0, (n, 3)).astype(np.float32)
+    return an.AnisoScene(mu=jnp.asarray(mu), scale=jnp.asarray(scale),
+                         magnitude=jnp.asarray(mag), albedo=jnp.asarray(alb))
+
+
+SCENE = _aniso_scene()
+CAM = Camera.create(position=(0.0, 0.0, -2.5), width=16, height=16)
+
+
+def test_closed_form_matches_riemann():
+    """Closed-form anisotropic transmittance vs numerical integration along
+    a ray (the transmittance-test analog, tests/transmittance.cpp:7-38)."""
+    o = jnp.array([0.1, -0.2, -2.5], jnp.float32)
+    n = jnp.array([0.05, 0.02, 1.0], jnp.float32)
+    n = n / jnp.linalg.norm(n)
+    for s in (1.0, 2.5, 4.0):
+        closed = float(an.transmittance_aniso(o, n, s, SCENE))
+        numeric = float(an.transmittance_step_aniso(o, n, s, 1e-3, SCENE))
+        assert abs(closed - numeric) < 2e-3, (s, closed, numeric)
+
+
+def test_isotropic_embedding_matches_isotropic_renderer():
+    """scale = (sigma, sigma, sigma) must reproduce the isotropic fused
+    renderer to numerical noise."""
+    iso = grid_scene(3)
+    o, dirs = CAM.rays()
+    a = np.asarray(render_rays_impl(o, dirs, iso, q_block=16, ray_block=64))
+    b = np.asarray(an.render_rays_aniso_impl(o, dirs, an.from_isotropic(iso),
+                                             q_block=16, ray_block=64))
+    np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-6)
+
+
+def test_fused_matches_oracle():
+    """Fused blocked anisotropic renderer vs the literal 5-tap oracle with
+    explicit matrix-form pdfs (img-error methodology)."""
+    o, dirs = CAM.rays()
+    oracle = jax.lax.map(
+        lambda n: an.radiance_aniso(o, n, SCENE), dirs)
+    fused = an.render_rays_aniso_impl(o, dirs, SCENE, q_block=8,
+                                      ray_block=64)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(oracle),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_anisotropy_changes_the_image():
+    """Stretching one axis must actually change pixels (guards against the
+    scales being silently ignored)."""
+    o, dirs = CAM.rays()
+    base = np.asarray(an.render_rays_aniso_impl(o, dirs, SCENE, q_block=8,
+                                                ray_block=64))
+    stretched = SCENE.replace(scale=SCENE.scale * jnp.array([3.0, 1.0, 1.0]))
+    img2 = np.asarray(an.render_rays_aniso_impl(o, dirs, stretched,
+                                                q_block=8, ray_block=64))
+    assert float(np.mean((base - img2) ** 2)) > 1e-6
+
+
+def test_gradients_match_oracle_autodiff():
+    """Autodiff of the fused path vs autodiff of the independent oracle —
+    including the NEW per-axis scale gradients."""
+    o, dirs = CAM.rays()
+    dirs = dirs[:32]
+    target = jnp.zeros((32, 3), jnp.float32)
+
+    def loss_fused(s):
+        c = an.render_rays_aniso_impl(o, dirs, s, q_block=8, ray_block=32)
+        return jnp.mean((c - target) ** 2)
+
+    def loss_oracle(s):
+        c = jax.lax.map(lambda n: an.radiance_aniso(o, n, s), dirs)
+        return jnp.mean((c - target) ** 2)
+
+    gf = jax.grad(loss_fused)(SCENE)
+    go = jax.grad(loss_oracle)(SCENE)
+    for f in ("mu", "scale", "magnitude", "albedo"):
+        a, b = np.asarray(getattr(gf, f)), np.asarray(getattr(go, f))
+        assert np.all(np.isfinite(a)), f
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-7,
+                                   err_msg=f)
+    assert float(np.abs(np.asarray(gf.scale)).max()) > 0
+
+
+def test_tiled_aniso_matches_untiled():
+    """Tiled path (max-scale conservative culling) vs the untiled fused
+    renderer on a full frame."""
+    cam = Camera.create(position=(0.0, 0.0, -2.5), width=32, height=32)
+    untiled = an.render_aniso(SCENE, cam, q_block=8, ray_block=256)
+    tiled, ovf = an.render_tiled_aniso(SCENE, cam, tiles=4, capacity=8,
+                                       q_block=8)
+    assert int(ovf) == 0
+    # tiling culls 3.3-sigma-distant Gaussians by design; the bound is
+    # derived from 8-bit visibility (thesis main.tex:520-541), so the
+    # tiled image may differ by up to one u8 quantum (1/255).
+    assert float(np.abs(np.asarray(tiled) - np.asarray(untiled)).max()) \
+        < 1.0 / 255.0
+
+
+def test_fit_recovers_anisotropic_scales():
+    """North-star generalization: gradient descent recovers a stretched
+    per-axis scale from rendered targets."""
+    import optax
+
+    o, dirs = CAM.rays()
+    target = an.render_rays_aniso_impl(o, dirs, SCENE, q_block=8,
+                                       ray_block=64)
+    noisy = SCENE.replace(scale=SCENE.scale * jnp.array([[1.4, 0.8, 1.1]]))
+    opt = optax.adam(2e-2)
+    opt_state = opt.init(noisy)
+
+    @jax.jit
+    def step(scene, opt_state):
+        def f(s):
+            c = an.render_rays_aniso_impl(o, dirs, s, q_block=8,
+                                          ray_block=64)
+            return jnp.mean((c - target) ** 2)
+
+        loss, g = jax.value_and_grad(f)(scene)
+        updates, opt_state = opt.update(g, opt_state, scene)
+        return optax.apply_updates(scene, updates), opt_state, loss
+
+    scene = noisy
+    first = None
+    for _ in range(60):
+        scene, opt_state, loss = step(scene, opt_state)
+        if first is None:
+            first = float(loss)
+    last = float(loss)
+    assert last < first * 0.2, (first, last)
+    err0 = float(jnp.mean(jnp.abs(noisy.scale - SCENE.scale)))
+    err1 = float(jnp.mean(jnp.abs(scene.scale - SCENE.scale)))
+    assert err1 < err0 * 0.7, (err0, err1)
