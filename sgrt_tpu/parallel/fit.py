@@ -162,6 +162,11 @@ def _xla_tile_render(tiled, o, d, q_block: int, tile_batch: int):
     tb = min(tile_batch, t2)
     while t2 % tb:
         tb -= 1
+    # q_block must divide the tile capacity (K) for the q-block scan
+    k = tiled.sigma.shape[1]
+    q_block = min(q_block, k)
+    while k % q_block:
+        q_block -= 1
 
     # checkpoint per tile: without it the backward of the chunked map saves
     # every chunk's scan residuals — O(T2 * rays * 5K) in HBM (measured
