@@ -239,15 +239,24 @@ def render_aniso(scene: AnisoScene, camera: Camera, origin=None,
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "tiles", "capacity",
-                                             "q_block", "tile_batch"))
+                                             "q_block", "tile_batch",
+                                             "backend"))
 def _render_tiled_aniso_jit(scene, view, o, dirs, h, w, tiles, capacity,
-                            q_block, tile_batch):
+                            q_block, tile_batch, backend):
     from sgrt_tpu.ops.render import _tile_rays, _untile_image
     from sgrt_tpu.ops.tiling import as_grid, tile_indices
 
     idx, counts = tile_indices(iso_proxy(scene), view, tiles, capacity)
     tiled = gather_tiles_aniso(scene, idx)
     d = _tile_rays(dirs, h, w, tiles)
+    overflow = jnp.sum(counts > capacity).astype(jnp.int32)
+
+    if backend == "pallas":
+        from sgrt_tpu.ops.pallas_aniso import render_tiles_pallas_aniso
+
+        colors = render_tiles_pallas_aniso(tiled, o, d, counts)
+        return _untile_image(colors, h, w, tiles), overflow
+
     qb = min(q_block, capacity)
 
     def one_tile(args):
@@ -260,15 +269,17 @@ def _render_tiled_aniso_jit(scene, view, o, dirs, h, w, tiles, capacity,
     chunked = jax.tree_util.tree_map(
         lambda a: a.reshape(t2 // tb, tb, *a.shape[1:]), (tiled, d))
     colors = jax.lax.map(jax.vmap(one_tile), chunked).reshape(t2, -1, 3)
-    overflow = jnp.sum(counts > capacity).astype(jnp.int32)
     return _untile_image(colors, h, w, tiles), overflow
 
 
 def render_tiled_aniso(scene: AnisoScene, camera: Camera, origin=None,
                        tiles=16, capacity: int = 128, q_block: int = 128,
-                       tile_batch: int = 16):
+                       tile_batch: int = 16, backend: str = "xla"):
     """Tiled + culled anisotropic frame → ((H, W, 3), overflow). Culling
-    uses the conservative max-scale footprint (iso_proxy)."""
+    uses the conservative max-scale footprint (iso_proxy);
+    backend="pallas" routes through the fused anisotropic kernel
+    (ops.pallas_aniso)."""
+    from sgrt_tpu.ops.pallas_kernel import _block_sizes
     from sgrt_tpu.ops.tiling import as_grid
 
     h, w = camera.height, camera.width
@@ -276,11 +287,20 @@ def render_tiled_aniso(scene: AnisoScene, camera: Camera, origin=None,
     if h % ty or w % tx:
         raise ValueError(f"image {w}x{h} not divisible into {tx}x{ty} tiles")
     o, dirs = camera.rays(origin)
-    qb = min(q_block, max(capacity, 1))
-    capacity = max(qb, -(-capacity // qb) * qb)
+    if backend == "pallas":
+        import math
+
+        pb, qb_k = _block_sizes(capacity)
+        align = math.lcm(pb, qb_k)
+        capacity = max(align, -(-capacity // align) * align)
+        qb = min(q_block, capacity)
+    else:
+        qb = min(q_block, max(capacity, 1))
+        capacity = max(qb, -(-capacity // qb) * qb)
     return _render_tiled_aniso_jit(scene, camera.view_matrix, o, dirs,
                                    h=h, w=w, tiles=tiles, capacity=capacity,
-                                   q_block=qb, tile_batch=tile_batch)
+                                   q_block=qb, tile_batch=tile_batch,
+                                   backend=backend)
 
 
 def gather_tiles_aniso(scene: AnisoScene, idx: jnp.ndarray) -> AnisoScene:
