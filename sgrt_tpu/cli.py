@@ -69,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "on both backends.")
     p.add_argument("--gif", default=None,
                    help="Write all frames as an animated GIF to <file> (gen-gif.sh analog).")
+    p.add_argument("--aniso", default=None, metavar="SX,SY,SZ",
+                   help="Render with ANISOTROPIC (diagonal-covariance) "
+                        "Gaussians: per-axis scale multipliers applied to "
+                        "the loaded scene's sigma (exceeds the reference; "
+                        "ops/anisotropic.py + the fused aniso kernel).")
     return p
 
 
@@ -97,6 +102,23 @@ def main(argv=None) -> int:
         print(f"error: {width}x{height} not divisible into {tx}x{ty} tiles", file=sys.stderr)
         return 1
 
+    aniso_scene = None
+    if args.aniso:
+        import jax.numpy as jnp
+
+        from sgrt_tpu.ops import anisotropic as an
+
+        sf = [float(x) for x in args.aniso.split(",")]
+        if len(sf) != 3:
+            print("error: --aniso expects SX,SY,SZ", file=sys.stderr)
+            return 1
+        aniso_scene = an.from_isotropic(scene)
+        aniso_scene = aniso_scene.replace(
+            scale=aniso_scene.scale * jnp.array([sf], jnp.float32))
+        # capacity probing (and tiling) uses the conservative max-scale
+        # footprint
+        scene = an.iso_proxy(aniso_scene)
+
     capacity = args.capacity
     if use_tiling and capacity is None:
         # Fixed capacity across the whole orbit (one device call) so every
@@ -118,20 +140,45 @@ def main(argv=None) -> int:
     for frame in range(1, args.frames + 1):
         angle = args.initial_rotation + (frame - 1) * angle_change
         t0 = time.perf_counter()
-        img, overflow = render_orbit_frame(
-            scene,
-            angle,
-            args.camera_offset,
-            args.focal_length,
-            width=width,
-            height=height,
-            tiles=args.tiles,
-            capacity=capacity or 1,
-            use_tiling=use_tiling,
-            backend=args.backend,
-            erf_name=args.erf,
-            exp_name=args.exp,
-        )
+        if aniso_scene is not None:
+            from sgrt_tpu.ops import anisotropic as an
+            from sgrt_tpu.ops.frame import orbit_camera
+
+            cam = orbit_camera(angle, args.camera_offset, args.focal_length,
+                               width, height)
+            if use_tiling:
+                img, overflow = an.render_tiled_aniso(
+                    aniso_scene, cam, tiles=args.tiles,
+                    capacity=capacity or 1, backend=args.backend)
+            else:
+                import jax.numpy as jnp
+
+                if args.backend == "pallas":
+                    from sgrt_tpu.ops.pallas_aniso import (
+                        render_rays_pallas_aniso_impl)
+
+                    o, dirs = cam.rays()
+                    img = render_rays_pallas_aniso_impl(
+                        o, dirs, aniso_scene, erf_name=args.erf,
+                        exp_name=args.exp).reshape(height, width, 3)
+                else:
+                    img = an.render_aniso(aniso_scene, cam)
+                overflow = jnp.zeros((), jnp.int32)
+        else:
+            img, overflow = render_orbit_frame(
+                scene,
+                angle,
+                args.camera_offset,
+                args.focal_length,
+                width=width,
+                height=height,
+                tiles=args.tiles,
+                capacity=capacity or 1,
+                use_tiling=use_tiling,
+                backend=args.backend,
+                erf_name=args.erf,
+                exp_name=args.exp,
+            )
         # host fetch = the only reliable device sync on a tunneled TPU
         img_np = np.asarray(img)
         dt = (time.perf_counter() - t0) * 1000.0

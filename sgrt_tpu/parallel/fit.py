@@ -483,6 +483,100 @@ def make_frame_train_step(
     return step
 
 
+def make_aniso_frame_train_step(
+    optimizer: optax.GradientTransformation,
+    *,
+    width: int = 256,
+    height: int = 256,
+    tiles: int = 16,
+    capacity: int = 128,
+    mesh: Mesh | None = None,
+    erf_name: str = "as5",
+    exp_name: str = "exact",
+    trainable: tuple[str, ...] = ("mu", "scale", "magnitude", "albedo"),
+    focal_length=1.0,
+):
+    """Tiled whole-frame train step for ANISOTROPIC scenes — the
+    diagonal-covariance sibling of make_frame_train_step: per-frame
+    re-tiling on the conservative max-scale footprint
+    (anisotropic.iso_proxy), packed 10-column gather, fused anisotropic
+    kernel fwd + analytic-VJP bwd (ops.pallas_aniso — gradients include
+    the per-axis scales), optimizer update. With a mesh, tiles are the
+    sharded axis and gradients are pmean'd over ICI, exactly as the
+    isotropic step.
+
+    Returns step(state, view, o, dirs, target) → (state, loss, overflow);
+    state is a FitState whose .scene is an anisotropic.AnisoScene.
+    """
+    import math
+
+    from sgrt_tpu.ops.anisotropic import gather_tiles_aniso, iso_proxy
+    from sgrt_tpu.ops.pallas_aniso import render_tiles_pallas_aniso
+    from sgrt_tpu.ops.pallas_kernel import _block_sizes
+    from sgrt_tpu.ops.render import _tile_rays
+    from sgrt_tpu.ops.tiling import as_grid, tile_indices
+
+    pb, qb = _block_sizes(capacity)
+    align = math.lcm(pb, qb)
+    capacity = max(align, -(-capacity // align) * align)
+    _check_bwd_capacity(capacity, None, "pallas")
+    tx_, ty_ = as_grid(tiles)
+    t2 = tx_ * ty_
+    if mesh is not None and t2 % mesh.devices.size:
+        raise ValueError(f"tile count {t2} not divisible by the mesh "
+                         f"({mesh.devices.size} devices)")
+
+    def masked_scene(scene):
+        fields = {
+            f: (getattr(scene, f) if f in trainable
+                else jax.lax.stop_gradient(getattr(scene, f)))
+            for f in ("mu", "scale", "magnitude", "albedo")
+        }
+        return type(scene)(**fields)
+
+    def local_vg(scene, idx, counts, o, d, target_t):
+        def f(s):
+            colors = render_tiles_pallas_aniso(
+                gather_tiles_aniso(masked_scene(s), idx), o, d, counts,
+                pb=pb, qb=qb, erf_name=erf_name, exp_name=exp_name)
+            return jnp.mean((colors - target_t) ** 2)
+
+        return jax.value_and_grad(f)(scene)
+
+    if mesh is not None:
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(RAYS_AXIS), P(RAYS_AXIS), P(), P(RAYS_AXIS),
+                      P(RAYS_AXIS)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        def sharded_vg(scene, idx, counts, o, d, target_t):
+            loss, grads = local_vg(scene, idx, counts, o, d, target_t)
+            return (jax.lax.pmean(loss, RAYS_AXIS),
+                    jax.lax.pmean(grads, RAYS_AXIS))
+
+        vg = sharded_vg
+    else:
+        vg = local_vg
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: FitState, view, o, dirs, target):
+        idx, counts = tile_indices(iso_proxy(state.scene), view, tiles,
+                                   capacity, focal_length=focal_length)
+        overflow = jnp.sum(counts > capacity).astype(jnp.int32)
+        d = _tile_rays(dirs, height, width, tiles)
+        target_t = _tile_rays(target.reshape(-1, 3), height, width, tiles)
+        loss, grads = vg(state.scene, idx, counts, o, d, target_t)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.scene)
+        scene = optax.apply_updates(state.scene, updates)
+        return FitState(scene, opt_state, state.step + 1), loss, overflow
+
+    return step
+
+
 def fit(
     scene: GaussianScene,
     o,

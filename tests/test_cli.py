@@ -52,6 +52,23 @@ def test_cli_gif(tmp_path):
     assert out.read_bytes()[:6] in (b"GIF87a", b"GIF89a")
 
 
+def test_cli_aniso_flag(tmp_path, capsys):
+    """--aniso SX,SY,SZ renders via the anisotropic pipeline and actually
+    changes the image vs the isotropic render."""
+    iso = tmp_path / "iso.png"
+    ani = tmp_path / "ani.png"
+    common = ["-g", "2", "-w", "32", "-h", "32", "-q", "--tiles", "2",
+              "-m", "8"]
+    assert main(common + ["-o", str(iso)]) in (0, None)
+    assert main(common + ["-o", str(ani), "--aniso", "2.0,0.5,1.0"]) in (0, None)
+    from PIL import Image
+
+    a = np.asarray(Image.open(iso), np.float32)
+    b = np.asarray(Image.open(ani), np.float32)
+    assert a.shape == b.shape
+    assert float(np.abs(a - b).max()) > 2.0   # visibly different
+
+
 def test_fit_cli_roundtrip(tmp_path, capsys):
     """fit_cli end-to-end: perturb a tiny grid scene, run a few train steps,
     verify the mu error shrinks and the final PNG is written (BASELINE
