@@ -139,7 +139,8 @@ def measure_kernel_peak():
     dirs = jnp.asarray(rng.normal(size=(b, 3, r)), jnp.float32)
     work = b * r * (n * n * 5 + n)
     best = 0.0
-    for pb, qb in ((16, 32), (64, 128)):
+    # include the round-4 production blocks (the resweep's winners)
+    for pb, qb in ((8, 16), (8, 32), (16, 32), (64, 128)):
         f = jax.jit(functools.partial(render_fused, rb=128, pb=pb, qb=qb))
         t = _fetch_time(lambda: f(oc, sig, mag, alb, dirs)[0], n_iter=5)
         best = max(best, work / t)
