@@ -47,7 +47,10 @@ def sphere_scene(n: int):
     )
 
 
-def fetch_time(f, n_iter=10, warmup=1):
+def fetch_time(f, n_iter=10, warmup=1, sync_each=False):
+    """sync_each: block per call instead of pipelining the whole loop —
+    required when f's output is large (at fitting scale a gathered tile
+    pytree is ~1 GB, and 10+ pipelined in-flight outputs exhaust HBM)."""
     import jax
     import jax.numpy as jnp
 
@@ -57,6 +60,8 @@ def fetch_time(f, n_iter=10, warmup=1):
     t0 = time.perf_counter()
     for _ in range(n_iter):
         r = f()
+        if sync_each:
+            jax.block_until_ready(r)
     float(jnp.sum(jax.tree_util.tree_leaves(r)[0]))
     return (time.perf_counter() - t0) / n_iter
 
@@ -72,6 +77,20 @@ def main():
                          "(pallas_kernel.MAX_BWD_CAPACITY)")
     ap.add_argument("--steps", type=int, default=5)
     args = ap.parse_args()
+
+    if len(args.n) > 1:
+        # one subprocess per scene size: the tunneled runtime does not
+        # reliably release HBM between sizes within one process (observed
+        # RESOURCE_EXHAUSTED at the second N even after jax.clear_caches)
+        import subprocess
+
+        for n in args.n:
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--n", str(n),
+                 "--res", str(args.res), "--tiles", args.tiles,
+                 "--steps", str(args.steps)],
+                check=False)
+        return
 
     import jax
     import jax.numpy as jnp
@@ -92,7 +111,7 @@ def main():
         scene = sphere_scene(n)
         if args.tiles == "auto":
             tiles, cap = auto_tile_grid(scene, [30.0], -4.0, 1.0,
-                                        margin=1.2)
+                                        margin=1.2, width=res, height=res)
         else:
             tiles = tuple(int(v) for v in args.tiles.split("x"))
             cap = max(64, int(probe_capacity(scene, [30.0], -4.0, 1.0,
@@ -100,36 +119,11 @@ def main():
         cam = orbit_camera(30.0, -4.0, 1.0, res, res)
         o, dirs = cam.rays()
         cap_r = min(-(-cap // 128) * 128, 4096)
-        row = {"n": n, "tiles": tiles, "capacity": cap_r}
+        row = {"n": n, "res": res, "tiles": tiles, "capacity": cap_r}
 
-        # stage 1: membership + compaction
-        @jax.jit
-        def ti(s):
-            return tile_indices(s, cam.view_matrix, tiles, cap_r)[0]
-
-        row["tile_indices_ms"] = fetch_time(lambda: ti(scene)) * 1e3
-
-        # stage 2: gather (both strategies near the threshold; the one-hot
-        # is O(rows * N) MACs — at 50k+ it is minutes per frame, so only
-        # the native path is timed there)
-        idx = ti(scene)
-        saved = tiling.ONEHOT_MAX_SCENE_ROWS
-        strategies = [("gather_native_ms", 0)]
-        if n <= 20_000:
-            strategies.append(("gather_onehot_ms", 1 << 30))
-        for name, thresh in strategies:
-            tiling.ONEHOT_MAX_SCENE_ROWS = thresh
-            g = jax.jit(lambda s, i: gather_tiles(s, i).mu)
-            try:
-                row[name] = fetch_time(lambda: g(scene, idx)) * 1e3
-            except Exception as e:  # OOM at large N is a result, not a crash
-                row[name] = f"failed: {type(e).__name__}"
-        tiling.ONEHOT_MAX_SCENE_ROWS = saved
-        del idx, g
-        jax.clear_caches()   # drop stage executables; the tunnel runtime
-                             # fragments HBM if they accumulate across N
-
-        # stage 3: full forward frame (bucketed)
+        # frame + train step run FIRST (they need the most free HBM; the
+        # gather micro-timings below leave buffers this runtime does not
+        # reliably release, which starved these stages when run after)
         bc = probe_buckets(scene, [30.0], -4.0, 1.0, tiles, margin=1.2)
         row["buckets"] = tuple(bc)
 
@@ -157,6 +151,33 @@ def main():
         float(loss)
         row["train_step_ms"] = (time.perf_counter() - t0) / args.steps * 1e3
         row["rays_per_s_fwdbwd"] = round(res * res / (row["train_step_ms"] / 1e3))
+        del state, step, target
+        jax.clear_caches()
+
+        # gather micro-timings LAST: membership+compaction, then the two
+        # gather strategies (the one-hot is O(rows * N) MACs — at 50k+ it
+        # is minutes per frame, so only the native path is timed there)
+        @jax.jit
+        def ti(s):
+            return tile_indices(s, cam.view_matrix, tiles, cap_r)[0]
+
+        row["tile_indices_ms"] = fetch_time(lambda: ti(scene),
+                                            sync_each=True) * 1e3
+        idx = ti(scene)
+        saved = tiling.ONEHOT_MAX_SCENE_ROWS
+        strategies = [("gather_native_ms", 0)]
+        if n <= 20_000:
+            strategies.append(("gather_onehot_ms", 1 << 30))
+        for name, thresh in strategies:
+            tiling.ONEHOT_MAX_SCENE_ROWS = thresh
+            g = jax.jit(lambda s, i: gather_tiles(s, i).mu)
+            try:
+                row[name] = fetch_time(lambda: g(scene, idx),
+                                       sync_each=True) * 1e3
+            except Exception as e:  # OOM at large N is a result, not a crash
+                row[name] = f"failed: {type(e).__name__}"
+        tiling.ONEHOT_MAX_SCENE_ROWS = saved
+
         print(json.dumps(row), flush=True)
 
 

@@ -23,15 +23,20 @@ import jax as _jax
 # here; hot spots that can tolerate bf16 opt in explicitly.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
-from sgrt_tpu.models.gaussians import GaussianScene, grid_scene, pad_scene
+from sgrt_tpu.models.gaussians import (GaussianScene, grid_scene, pad_scene,
+                                       scene_from_obj)
 from sgrt_tpu.models.camera import Camera
+from sgrt_tpu.ops.anisotropic import AnisoScene, from_isotropic
 
 __version__ = "0.1.0"
 
 __all__ = [
     "GaussianScene",
+    "AnisoScene",
+    "from_isotropic",
     "grid_scene",
     "pad_scene",
+    "scene_from_obj",
     "Camera",
     "__version__",
 ]

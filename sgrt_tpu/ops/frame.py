@@ -190,12 +190,23 @@ def probe_capacity(scene: GaussianScene, angles, offset, focal_length, tiles):
 
 
 def auto_tile_grid(scene: GaussianScene, angles, offset, focal_length,
-                   start=(16, 32), margin: float = 1.3):
+                   start=(16, 32), margin: float = 1.3,
+                   width: int | None = None, height: int | None = None,
+                   min_rays_per_tile: int = 32):
     """Smallest power-of-two refinement of `start` whose worst per-tile
     count (x margin) fits the backward kernel's VMEM ceiling
     (pallas_kernel.MAX_BWD_CAPACITY) — the fitting-scale sizing rule:
     denser scenes need finer grids because per-tile cost is count^2 and
-    the kernel's Gaussian axis is VMEM-bounded. Returns ((tx, ty), cap)."""
+    the kernel's Gaussian axis is VMEM-bounded. Returns ((tx, ty), cap).
+
+    width/height bound the refinement by rays per tile: rays are the
+    kernel's 128-wide LANE axis, so tiles below ~32 rays waste most of the
+    machine to lane padding AND blow up every (B, N, rays) buffer 128/rays
+    times in its padded layout (measured at 50k Gaussians: an 8-ray grid
+    turned a 0.5 GB saved-T residual into a 9.4 GB padded allocation).
+    Refinement stops at min_rays_per_tile even if cap stays above the
+    ceiling — callers must then raise the resolution or shard the scene.
+    """
     from sgrt_tpu.ops.pallas_kernel import MAX_BWD_CAPACITY
     from sgrt_tpu.ops.tiling import as_grid
 
@@ -205,10 +216,12 @@ def auto_tile_grid(scene: GaussianScene, angles, offset, focal_length,
                                          (tx, ty)) * margin))
         if cap <= MAX_BWD_CAPACITY or tx * ty >= 8192:
             return (tx, ty), cap
-        if tx <= ty:
-            tx *= 2
-        else:
-            ty *= 2
+        nxt = (tx * 2, ty) if tx <= ty else (tx, ty * 2)
+        if width is not None and height is not None:
+            rays = (width // nxt[0]) * (height // nxt[1])
+            if rays < min_rays_per_tile:
+                return (tx, ty), cap
+        tx, ty = nxt
 
 
 def probe_buckets(scene: GaussianScene, angles, offset, focal_length,

@@ -1443,7 +1443,11 @@ def render_fused(scene_oc, sigma, mag, albedo, dirs_t, counts=None, *,
         counts = jnp.full((b,), n, jnp.int32)
     counts = jnp.minimum(counts.astype(jnp.int32), n)  # see tw_pallas
     if save_t is None:
-        save_t = 4 * len(K_TAPS) * b * n * r <= SAVE_T_MAX_BYTES
+        # PADDED bytes: the trailing (ray) dim tiles to 128 lanes, so an
+        # 8-ray tile's residual occupies 16x its logical size in HBM
+        # (measured: 0.5 GB logical -> 9.4 GB padded at 50k Gaussians)
+        r_pad = -(-r // 128) * 128
+        save_t = 4 * len(K_TAPS) * b * n * r_pad <= SAVE_T_MAX_BYTES
     op = _make_fused_op(rb, pb, qb, rb_bwd, erf_name, exp_name, interpret,
                         save_t)
     return op(scene_oc, sigma, mag, albedo, dirs_t, counts)
