@@ -162,9 +162,12 @@ def main():
 
         # full 15-check suite by default (teapot tiled fwd + tiled gradients
         # + oracle, all on this device); BENCH_QUICK_PARITY=1 for the 9-check
-        # subset when iterating.
-        parity = run_checks(quick=os.environ.get("BENCH_QUICK_PARITY") == "1")
-        with open("VERIFY_TPU.json", "w") as f:
+        # subset when iterating (which must NOT overwrite the committed
+        # full-suite artifact).
+        quick = os.environ.get("BENCH_QUICK_PARITY") == "1"
+        parity = run_checks(quick=quick)
+        with open("VERIFY_TPU_QUICK.json" if quick else "VERIFY_TPU.json",
+                  "w") as f:
             json.dump(parity, f, indent=2)
 
     print(
