@@ -54,6 +54,14 @@ def certify(name, obj_path, res, tiles, use_mesh):
     row = {"scene": os.path.basename(obj_path), "n_gaussians": scene.n,
            "resolution": f"{res}x{res}", "tiles": list(tiles),
            "sharded_step": use_mesh}
+    if use_mesh:
+        # self-describing artifact: this rig has ONE real chip; the sharded
+        # mechanics are validated separately on an 8-device virtual mesh
+        # (tests/test_parallel.py, __graft_entry__.dryrun_multichip)
+        row["sharded_note"] = ("sharded-step mechanics validated on an "
+                               "8-device virtual CPU mesh; timings here are "
+                               f"from a mesh of {jax.device_count()} real "
+                               "device(s)")
 
     _log(f"[{name}] probing {row}")
     cap = max(64, int(probe_capacity(scene, ANGLES, -4.0, 1.0, tiles) * 1.3))

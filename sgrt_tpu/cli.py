@@ -149,7 +149,8 @@ def main(argv=None) -> int:
             if use_tiling:
                 img, overflow = an.render_tiled_aniso(
                     aniso_scene, cam, tiles=args.tiles,
-                    capacity=capacity or 1, backend=args.backend)
+                    capacity=capacity or 1, backend=args.backend,
+                    erf_name=args.erf, exp_name=args.exp)
             else:
                 import jax.numpy as jnp
 
@@ -162,7 +163,9 @@ def main(argv=None) -> int:
                         o, dirs, aniso_scene, erf_name=args.erf,
                         exp_name=args.exp).reshape(height, width, 3)
                 else:
-                    img = an.render_aniso(aniso_scene, cam)
+                    img = an.render_aniso(aniso_scene, cam,
+                                          erf_name=args.erf,
+                                          exp_name=args.exp)
                 overflow = jnp.zeros((), jnp.int32)
         else:
             img, overflow = render_orbit_frame(

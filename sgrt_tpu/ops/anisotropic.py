@@ -110,7 +110,7 @@ def pad_scene_aniso(scene: AnisoScene, multiple: int = 128) -> AnisoScene:
     )
 
 
-def _aniso_ray_terms(o, dirs, scene: AnisoScene):
+def _aniso_ray_terms(o, dirs, scene: AnisoScene, exp_fn=jnp.exp):
     """Per-(ray, Gaussian) 1-D restriction parameters.
 
     dirs (R,3) unit rays → mu_bar, sigma_bar, cbar, each (R, N).
@@ -123,7 +123,7 @@ def _aniso_ray_terms(o, dirs, scene: AnisoScene):
     C = jnp.sum(v * v * inv_d, axis=-1)             # (N,)
     sigma_bar = 1.0 / jnp.sqrt(A)
     mu_bar = -B / A
-    cbar = scene.magnitude[None, :] * jnp.exp(-0.5 * (C[None, :] - B * B / A))
+    cbar = scene.magnitude[None, :] * exp_fn(-0.5 * (C[None, :] - B * B / A))
     return mu_bar, sigma_bar, cbar
 
 
@@ -166,18 +166,24 @@ def radiance_aniso(o, n, scene: AnisoScene) -> jnp.ndarray:
     return jnp.matmul(inner, scene.albedo, precision=jax.lax.Precision.HIGHEST)
 
 
-def _radiance_block_aniso(o, dirs, scene: AnisoScene, q_block: int):
+def _radiance_block_aniso(o, dirs, scene: AnisoScene, q_block: int,
+                          erf_name: str = "exact",
+                          exp_name: str = "exact"):
     """Fused radiance for a block of rays (R,3) → (R,3) — the anisotropic
     twin of ops.render._radiance_block: same pdf collapse
     (pdf at t_pk = cbar * e^{-k^2/2}), same hoisted-erf1 base, same
     q-blocked lax.scan bounding the (R, Qb, 5N) pairwise intermediate;
     sigma_bar/inv ride along as (Qb, R) planes instead of (Qb,) columns.
-    """
+    erf_name/exp_name select the approximation (ops.approx registries) —
+    the same hooks as the isotropic XLA backend (ops.render:45-52)."""
+    from sgrt_tpu.ops.render import _resolve_approx
+
+    erf_fn, exp_fn = _resolve_approx(erf_name, exp_name)
     n = scene.n
-    mu_bar, sigma_bar, cbar = _aniso_ray_terms(o, dirs, scene)   # (R,N) x3
+    mu_bar, sigma_bar, cbar = _aniso_ray_terms(o, dirs, scene, exp_fn)
     coeff = sigma_bar * INV_SQRT_2_PI * cbar
     inv = 1.0 / (SQRT_2 * sigma_bar)
-    base = jnp.sum(coeff * erf(-mu_bar * inv), axis=-1)          # (R,)
+    base = jnp.sum(coeff * erf_fn(-mu_bar * inv), axis=-1)       # (R,)
 
     s = mu_bar[:, :, None] + K_TAPS[None, None, :] * sigma_bar[:, :, None]
     s = s.reshape(dirs.shape[0], n * 5)                          # (R, 5N)
@@ -191,13 +197,13 @@ def _radiance_block_aniso(o, dirs, scene: AnisoScene, q_block: int):
     def body(acc, blk):
         mu_q, co_q, inv_q = blk                    # (Qb,R) x3
         args = (s[:, None, :] - mu_q.T[:, :, None]) * inv_q.T[:, :, None]
-        acc = acc + jnp.sum(co_q.T[:, :, None] * erf(args), axis=1)
+        acc = acc + jnp.sum(co_q.T[:, :, None] * erf_fn(args), axis=1)
         return acc, None
 
     acc0 = jnp.zeros_like(s)
     acc, _ = jax.lax.scan(body, acc0, (mu_bar_b, coeff_b, inv_b))
 
-    T = jnp.exp(base[:, None] - acc).reshape(-1, n, 5)           # (R,N,5)
+    T = exp_fn(base[:, None] - acc).reshape(-1, n, 5)            # (R,N,5)
     tw = jnp.matmul(T, K_WEIGHTS, precision=jax.lax.Precision.HIGHEST)
     weights = sigma_bar * cbar * tw                              # (R,N)
     return jnp.matmul(weights, scene.albedo,
@@ -205,7 +211,8 @@ def _radiance_block_aniso(o, dirs, scene: AnisoScene, q_block: int):
 
 
 def render_rays_aniso_impl(o, dirs, scene: AnisoScene, q_block: int = 128,
-                           ray_block: int = 2048):
+                           ray_block: int = 2048, erf_name: str = "exact",
+                           exp_name: str = "exact"):
     """Unjitted anisotropic render of a ray batch → colors (R,3).
     Differentiable w.r.t. every scene field including the per-axis scales."""
     scene = pad_scene_aniso(scene, q_block)
@@ -220,29 +227,36 @@ def render_rays_aniso_impl(o, dirs, scene: AnisoScene, q_block: int = 128,
     else:
         dirs_p = dirs
     batches = dirs_p.reshape(-1, ray_block, 3)
-    f = lambda d: _radiance_block_aniso(o, d, scene, q_block)
+    f = lambda d: _radiance_block_aniso(o, d, scene, q_block, erf_name,
+                                        exp_name)
     colors = jax.lax.map(f, batches).reshape(-1, 3)
     return colors[:r]
 
 
 render_rays_aniso = jax.jit(render_rays_aniso_impl,
-                            static_argnames=("q_block", "ray_block"))
+                            static_argnames=("q_block", "ray_block",
+                                             "erf_name", "exp_name"))
 
 
 def render_aniso(scene: AnisoScene, camera: Camera, origin=None,
-                 q_block: int = 128, ray_block: int = 2048) -> jnp.ndarray:
+                 q_block: int = 128, ray_block: int = 2048,
+                 erf_name: str = "exact",
+                 exp_name: str = "exact") -> jnp.ndarray:
     """Full-frame anisotropic render → float32 (H, W, 3), unclamped."""
     o, dirs = camera.rays(origin)
     colors = render_rays_aniso(o, dirs, scene, q_block=q_block,
-                               ray_block=ray_block)
+                               ray_block=ray_block, erf_name=erf_name,
+                               exp_name=exp_name)
     return colors.reshape(camera.height, camera.width, 3)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "tiles", "capacity",
                                              "q_block", "tile_batch",
-                                             "backend"))
+                                             "backend", "erf_name",
+                                             "exp_name"))
 def _render_tiled_aniso_jit(scene, view, o, dirs, h, w, tiles, capacity,
-                            q_block, tile_batch, backend):
+                            q_block, tile_batch, backend,
+                            erf_name="exact", exp_name="exact"):
     from sgrt_tpu.ops.render import _tile_rays, _untile_image
     from sgrt_tpu.ops.tiling import as_grid, tile_indices
 
@@ -254,18 +268,23 @@ def _render_tiled_aniso_jit(scene, view, o, dirs, h, w, tiles, capacity,
     if backend == "pallas":
         from sgrt_tpu.ops.pallas_aniso import render_tiles_pallas_aniso
 
-        colors = render_tiles_pallas_aniso(tiled, o, d, counts)
+        colors = render_tiles_pallas_aniso(tiled, o, d, counts,
+                                           erf_name=erf_name,
+                                           exp_name=exp_name)
         return _untile_image(colors, h, w, tiles), overflow
 
     qb = min(q_block, capacity)
 
     def one_tile(args):
         tile_scene, tile_dirs = args
-        return _radiance_block_aniso(o, tile_dirs, tile_scene, qb)
+        return _radiance_block_aniso(o, tile_dirs, tile_scene, qb,
+                                     erf_name, exp_name)
 
     tx, ty = as_grid(tiles)
     t2 = tx * ty
     tb = min(tile_batch, t2)
+    while t2 % tb:  # largest divisor of the tile count <= tile_batch
+        tb -= 1
     chunked = jax.tree_util.tree_map(
         lambda a: a.reshape(t2 // tb, tb, *a.shape[1:]), (tiled, d))
     colors = jax.lax.map(jax.vmap(one_tile), chunked).reshape(t2, -1, 3)
@@ -274,11 +293,13 @@ def _render_tiled_aniso_jit(scene, view, o, dirs, h, w, tiles, capacity,
 
 def render_tiled_aniso(scene: AnisoScene, camera: Camera, origin=None,
                        tiles=16, capacity: int = 128, q_block: int = 128,
-                       tile_batch: int = 16, backend: str = "xla"):
+                       tile_batch: int = 16, backend: str = "xla",
+                       erf_name: str = "exact", exp_name: str = "exact"):
     """Tiled + culled anisotropic frame → ((H, W, 3), overflow). Culling
     uses the conservative max-scale footprint (iso_proxy);
     backend="pallas" routes through the fused anisotropic kernel
-    (ops.pallas_aniso)."""
+    (ops.pallas_aniso). erf_name/exp_name select the approximation on
+    either backend (ops.approx registries)."""
     from sgrt_tpu.ops.pallas_kernel import _block_sizes
     from sgrt_tpu.ops.tiling import as_grid
 
@@ -300,7 +321,8 @@ def render_tiled_aniso(scene: AnisoScene, camera: Camera, origin=None,
     return _render_tiled_aniso_jit(scene, camera.view_matrix, o, dirs,
                                    h=h, w=w, tiles=tiles, capacity=capacity,
                                    q_block=qb, tile_batch=tile_batch,
-                                   backend=backend)
+                                   backend=backend, erf_name=erf_name,
+                                   exp_name=exp_name)
 
 
 def gather_tiles_aniso(scene: AnisoScene, idx: jnp.ndarray) -> AnisoScene:

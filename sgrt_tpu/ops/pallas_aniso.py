@@ -49,6 +49,14 @@ from sgrt_tpu.ops.pallas_kernel import (
 _INV_SQRT_2_PI = 1.2533141373155003   # sqrt(pi/2)
 _SQRT_2 = 1.4142135623730951
 
+# Backward VMEM ceiling on the per-call Gaussian axis. The isotropic
+# backward's measured ceiling is 4096 with 6 full (N, RB) gradient/plane
+# scratch buffers (pallas_kernel.MAX_BWD_CAPACITY); the anisotropic
+# backward holds 8 full planes (mb/co/inv/sb + dmb/dco/dsb/dinv) plus the
+# epilogue temporaries, so the ceiling is scaled by the 6/8 scratch ratio
+# until measured directly.
+MAX_BWD_CAPACITY_ANISO = 3072
+
 
 def _prep_scratch_aniso(oc, invd, mag, d, mb_s, co_s, inv_s, sb_s, exp):
     """In-kernel anisotropic prep → fills mu_bar/coeff/inv/sigma_bar planes.
@@ -212,8 +220,11 @@ def _aniso_epilogue(oc, invd, mag, d, mb_s, co_s, inv_s, sb_s,
         preferred_element_type=jnp.float32)
         + jax.lax.dot_general(M, dBt, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32))
+    # guard only mag == 0 (inert padding; dcoco is 0 there since co ∝ mag):
+    # negative magnitudes from unconstrained fitting keep the true-signed
+    # d mag = Σ dco*co/mag
     dmag_col = jnp.sum(dcoco, axis=1, keepdims=True) / jnp.where(
-        mag > 0, mag, 1.0)
+        mag == 0, 1.0, mag)
 
     i = pl.program_id(1)
 

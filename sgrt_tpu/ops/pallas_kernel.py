@@ -1040,7 +1040,10 @@ def _fused_prep_epilogue(oc, sig, mag, d, mb, co, inv, ocsq, inv2s2,
     dsig_col = (jnp.sum(dsig_s[:], axis=1, keepdims=True)
                 + jnp.sum(dinv_s[:], axis=1, keepdims=True) * (-inv / sig)
                 + s_row / sig + s_qmb / (sig * sig * sig))        # (N, 1)
-    dmag_col = mag * s_row / jnp.where(mag > 0, mag * mag, 1.0)  # = Σ dco*co/mag
+    # guard only mag == 0 (inert padding; numerator is 0 there too): a
+    # magnitude driven NEGATIVE during unconstrained fitting must keep the
+    # true d mag = Σ dco*co/mag, sign included
+    dmag_col = mag * s_row / jnp.where(mag == 0, 1.0, mag * mag)
     doc = (jax.lax.dot_general(dmb_s[:], d, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
            + 2.0 * oc * docsq)                                    # (N, 3)

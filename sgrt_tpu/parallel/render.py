@@ -131,7 +131,13 @@ def make_sharded_frame_renderer(
 
         return render
 
-    # single-capacity path: the whole tile axis sharded evenly
+    # single-capacity path: the whole tile axis sharded evenly. An adaptive
+    # bucket config that chose single-launch (n_dense == 0) still carries
+    # the probed capacity — honor it rather than the default kwarg, or a
+    # renderer built from probe_buckets(...) alone would under-allocate
+    # tile capacity and overflow.
+    if bucket_cfg is not None:
+        capacity = max(capacity, bucket_cfg.cap_dense)
     if t2 % n_dev:
         raise ValueError(f"tile count {t2} not divisible by mesh ({n_dev})")
     pb, qb = _block_sizes(capacity)

@@ -268,3 +268,19 @@ def test_fit_recovers_anisotropic_scales():
     err0 = float(jnp.mean(jnp.abs(noisy.scale - SCENE.scale)))
     err1 = float(jnp.mean(jnp.abs(scene.scale - SCENE.scale)))
     assert err1 < err0 * 0.7, (err0, err1)
+
+
+def test_tiled_aniso_threads_approximations():
+    """--erf/--exp must act on the tiled aniso path too (advisor round-4:
+    they were silently dropped): a coarse approximation changes the image
+    (vs exact) but stays within its known error band; and a tile_batch
+    that does not divide the tile count must not crash (divisor guard)."""
+    cam = Camera.create(position=(0.0, 0.0, -2.5), width=32, height=32)
+    exact, ovf = an.render_tiled_aniso(SCENE, cam, tiles=4, capacity=8,
+                                       q_block=8, tile_batch=7)
+    approx, _ = an.render_tiled_aniso(SCENE, cam, tiles=4, capacity=8,
+                                      q_block=8, erf_name="spline",
+                                      exp_name="fast")
+    assert int(ovf) == 0
+    diff = float(np.abs(np.asarray(exact) - np.asarray(approx)).max())
+    assert 0.0 < diff < 0.05   # changed, but within the approx error band

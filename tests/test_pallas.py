@@ -275,3 +275,25 @@ def test_pallas_fit_step_converges():
     stepped = optax.apply_updates(noisy, updates)
     l1 = loss_fn(stepped)
     assert float(l1) < float(l0)
+
+
+def test_negative_magnitude_gradient_sign():
+    """A magnitude driven NEGATIVE by unconstrained fitting must keep the
+    true-signed d mag = sum(dco*co)/mag (advisor round-4: the old
+    `mag > 0` guard silently rescaled/flipped negative-magnitude grads)."""
+    scene = grid_scene(2, sigma=0.4, magnitude=1.5)
+    scene = scene.replace(
+        magnitude=scene.magnitude.at[1].set(-0.7))
+    cam = Camera.create(position=(0.0, 0.0, -3.0), width=8, height=8)
+    o, dirs = cam.rays()
+
+    def loss_pal(s):
+        return jnp.sum(render_rays_pallas_impl(o, dirs, s, interpret=True) ** 2)
+
+    def loss_jnp(s):
+        return jnp.sum(render_rays_impl(o, dirs, s, q_block=8, ray_block=64) ** 2)
+
+    gp = np.asarray(jax.grad(loss_pal)(scene).magnitude)
+    gj = np.asarray(jax.grad(loss_jnp)(scene).magnitude)
+    scale = max(np.abs(gj).max(), 1e-8)
+    np.testing.assert_allclose(gp / scale, gj / scale, atol=5e-5)
