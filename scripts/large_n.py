@@ -100,7 +100,8 @@ def main():
     from sgrt_tpu.ops.frame import (orbit_camera, probe_buckets,
                                     probe_capacity, render_orbit_frame)
     from sgrt_tpu.ops.tiling import gather_tiles, tile_indices
-    from sgrt_tpu.parallel.fit import init_state, make_frame_train_step
+    from sgrt_tpu.parallel.fit import (init_state, make_frame_train_step,
+                                       make_slab_frame_train_step)
 
     res = args.res
     print(f"device: {jax.devices()[0]}")
@@ -118,7 +119,10 @@ def main():
                                              tiles) * 1.2))
         cam = orbit_camera(30.0, -4.0, 1.0, res, res)
         o, dirs = cam.rays()
-        cap_r = min(-(-cap // 128) * 128, 4096)
+        # no 4096 clamp any more: capacities above the monolithic VMEM
+        # ceiling route to the Gaussian-axis chunked kernel
+        # (ops.pallas_chunked) in every production path
+        cap_r = -(-cap // 128) * 128
         row = {"n": n, "res": res, "tiles": tiles, "capacity": cap_r}
 
         # frame + train step run FIRST (they need the most free HBM; the
@@ -135,11 +139,43 @@ def main():
 
         row["fwd_frame_ms"] = fetch_time(fwd, n_iter=5) * 1e3
 
-        # stage 4: full train step
+        # stage 4: full train step. The tunneled runtime kills device
+        # programs past ~60-90 s (measured with a plain XLA loop, see
+        # fit.make_slab_frame_train_step), so when the probed erf work
+        # predicts a step beyond ~40 s the step runs as host-level slabs —
+        # one bounded program per count-sorted tile slab, gradients
+        # accumulated (exact).
+        from sgrt_tpu.ops.tiling import as_grid, tile_membership
+
         opt = optax.adam(1e-3)
-        step = make_frame_train_step(opt, width=res, height=res, tiles=tiles,
-                                     capacity=cap_r, backend="pallas",
-                                     bucket_cfg=bc)
+        counts_np = np.sort(np.asarray(jnp.sum(tile_membership(
+            scene, cam.view_matrix, tiles, focal_length=1.0), axis=-1))
+        )[::-1].astype(np.float64)
+        tx_, ty_ = as_grid(tiles)
+        rays_pad = max(128, (res // tx_) * (res // ty_))
+        kern_rate = 124e9        # measured fwd erf/s plateau (EFFICIENCY.md)
+        step_s = 3.3 * 5 * (counts_np ** 2).sum() * rays_pad / kern_rate
+        row["est_step_s"] = round(step_s, 1)
+        if step_s > 40.0:
+            t2 = tx_ * ty_
+            slab = 8
+            for cand in sorted({d for d in range(8, t2 + 1) if t2 % d == 0}):
+                worst = max(
+                    3.3 * 5 * (counts_np[i:i + cand] ** 2).sum() * rays_pad
+                    / kern_rate
+                    for i in range(0, t2, cand))
+                if worst <= 25.0:
+                    slab = cand
+                else:
+                    break
+            row["slab_tiles"] = slab
+            step = make_slab_frame_train_step(
+                opt, width=res, height=res, tiles=tiles, capacity=cap_r,
+                slab_tiles=slab)
+        else:
+            step = make_frame_train_step(opt, width=res, height=res,
+                                         tiles=tiles, capacity=cap_r,
+                                         backend="pallas", bucket_cfg=bc)
         state = init_state(scene, opt)
         target = jnp.zeros((res, res, 3), jnp.float32)
         state, loss, ovf = step(state, cam.view_matrix, o, dirs, target)

@@ -103,7 +103,24 @@ def _render_orbit_frame_impl(
         return _untile_image(colors, height, width, tiles), overflow
 
     if backend == "pallas":
-        from sgrt_tpu.ops.pallas_kernel import _block_sizes, render_tiles_pallas
+        from sgrt_tpu.ops.pallas_kernel import (MAX_BWD_CAPACITY,
+                                                _block_sizes,
+                                                render_tiles_pallas)
+
+        d = _tile_rays(dirs, height, width, tiles)
+        if capacity > MAX_BWD_CAPACITY:
+            # dense-scene route: Gaussian-axis chunked kernel
+            from sgrt_tpu.ops.pallas_chunked import (chunk_plan,
+                                                     render_tiles_chunked)
+
+            capacity, ck = chunk_plan(capacity)
+            idx, counts = tile_indices(scene, cam.view_matrix, tiles,
+                                       capacity, focal_length=focal_length)
+            colors = render_tiles_chunked(gather_tiles(scene, idx), o, d,
+                                          counts, ck=ck, erf_name=erf_name,
+                                          exp_name=exp_name)
+            overflow = jnp.sum(counts > capacity).astype(jnp.int32)
+            return _untile_image(colors, height, width, tiles), overflow
 
         # Round capacity up so the Gaussian axis divides into kernel blocks.
         pb, qb = _block_sizes(capacity)
@@ -111,7 +128,6 @@ def _render_orbit_frame_impl(
         idx, counts = tile_indices(scene, cam.view_matrix, tiles, capacity,
                                    focal_length=focal_length)
         tiled = gather_tiles(scene, idx)
-        d = _tile_rays(dirs, height, width, tiles)
         colors = render_tiles_pallas(tiled, o, d, counts, pb=pb, qb=qb,
                                      erf_name=erf_name, exp_name=exp_name)
         overflow = jnp.sum(counts > capacity).astype(jnp.int32)
@@ -204,9 +220,16 @@ def auto_tile_grid(scene: GaussianScene, angles, offset, focal_length,
     machine to lane padding AND blow up every (B, N, rays) buffer 128/rays
     times in its padded layout (measured at 50k Gaussians: an 8-ray grid
     turned a 0.5 GB saved-T residual into a 9.4 GB padded allocation).
-    Refinement stops at min_rays_per_tile even if cap stays above the
-    ceiling — callers must then raise the resolution or shard the scene.
+
+    Capacities above pallas_kernel.MAX_BWD_CAPACITY route to the CHUNKED
+    kernel (ops.pallas_chunked), so refinement past that point trades
+    chunk count against lane waste: once tiles are down to one full
+    128-ray lane block, refining further only pads lanes — stop there if
+    the chunked ceiling covers the capacity. Refinement also stops at
+    min_rays_per_tile even if cap stays above every ceiling — callers must
+    then raise the resolution or shard the scene.
     """
+    from sgrt_tpu.ops.pallas_chunked import MAX_CHUNKED_CAPACITY
     from sgrt_tpu.ops.pallas_kernel import MAX_BWD_CAPACITY
     from sgrt_tpu.ops.tiling import as_grid
 
@@ -215,6 +238,15 @@ def auto_tile_grid(scene: GaussianScene, angles, offset, focal_length,
         cap = max(64, int(probe_capacity(scene, angles, offset, focal_length,
                                          (tx, ty)) * margin))
         if cap <= MAX_BWD_CAPACITY or tx * ty >= 8192:
+            return (tx, ty), cap
+        rays_now = None
+        if width is not None and height is not None:
+            rays_now = (width // tx) * (height // ty)
+        if (rays_now is not None and rays_now <= 128
+                and cap <= MAX_CHUNKED_CAPACITY):
+            # chunked kernel handles the capacity; refining below one full
+            # lane block would only pad lanes (full-lane tiles + chunking
+            # beat lane-starved tiles — measured, docs/LARGE_N.md)
             return (tx, ty), cap
         nxt = (tx * 2, ty) if tx <= ty else (tx, ty * 2)
         if width is not None and height is not None:

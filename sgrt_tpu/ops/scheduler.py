@@ -171,7 +171,8 @@ def render_tiles_bucketed(scene: GaussianScene, view, o, tile_dirs,
     their bucket capacity; 0 means nothing was truncated)). Differentiable
     w.r.t. the scene (the bucket gathers transpose to scatter-adds). pb/qb
     default per-bucket via _block_sizes."""
-    from sgrt_tpu.ops.pallas_kernel import _block_sizes, render_tiles_pallas
+    from sgrt_tpu.ops.pallas_kernel import (MAX_BWD_CAPACITY, _block_sizes,
+                                            render_tiles_pallas)
 
     t2 = tile_dirs.shape[0]
     if tiles is None:
@@ -187,23 +188,42 @@ def render_tiles_bucketed(scene: GaussianScene, view, o, tile_dirs,
     # lcm, not max: with custom pb/qb where neither divides the other,
     # rounding to max would leave a capacity the kernel rejects
     cfg = cfg.round_to(math.lcm(pb_d, qb_d), math.lcm(pb_s, qb_s))
+    # buckets above the monolithic VMEM ceiling → chunked kernel (dense
+    # fitting-scale scenes; sparse buckets virtually never need this)
+    chunk_dense = cfg.cap_dense > MAX_BWD_CAPACITY
+    chunk_sparse = cfg.cap_sparse > MAX_BWD_CAPACITY
+    if chunk_dense or chunk_sparse:
+        from sgrt_tpu.ops.pallas_chunked import chunk_plan
+
+        cap_d, ck_d = (chunk_plan(cfg.cap_dense) if chunk_dense
+                       else (cfg.cap_dense, 0))
+        cap_s, ck_s = (chunk_plan(cfg.cap_sparse) if chunk_sparse
+                       else (cfg.cap_sparse, 0))
+        cfg = BucketConfig(cfg.n_dense, cap_d, cap_s)
     dense_ids, idx_d, sparse_ids, idx_s, counts = bucketed_tile_indices(
         scene, view, tiles, cfg, focal_length=focal_length)
     overflow = (jnp.sum(counts[sparse_ids] > cfg.cap_sparse)
                 + jnp.sum(counts[dense_ids] > cfg.cap_dense)).astype(jnp.int32)
 
-    colors_s = render_tiles_pallas(
-        gather_tiles(scene, idx_s), o, tile_dirs[sparse_ids],
-        counts[sparse_ids], rb=rb, pb=pb_s, qb=qb_s, erf_name=erf_name,
-        exp_name=exp_name)
+    def _bucket_render(idx, ids, chunked, ck, pb_b, qb_b):
+        if chunked:
+            from sgrt_tpu.ops.pallas_chunked import render_tiles_chunked
+
+            return render_tiles_chunked(
+                gather_tiles(scene, idx), o, tile_dirs[ids], counts[ids],
+                ck=ck, rb=rb, erf_name=erf_name, exp_name=exp_name)
+        return render_tiles_pallas(
+            gather_tiles(scene, idx), o, tile_dirs[ids], counts[ids],
+            rb=rb, pb=pb_b, qb=qb_b, erf_name=erf_name, exp_name=exp_name)
+
+    colors_s = _bucket_render(idx_s, sparse_ids, chunk_sparse,
+                              ck_s if chunk_sparse else 0, pb_s, qb_s)
 
     colors = jnp.zeros((t2,) + colors_s.shape[1:], colors_s.dtype)
     colors = colors.at[sparse_ids].set(colors_s)
 
     if cfg.n_dense > 0:
-        colors_d = render_tiles_pallas(
-            gather_tiles(scene, idx_d), o, tile_dirs[dense_ids],
-            counts[dense_ids], rb=rb, pb=pb_d, qb=qb_d, erf_name=erf_name,
-            exp_name=exp_name)
+        colors_d = _bucket_render(idx_d, dense_ids, chunk_dense,
+                                  ck_d if chunk_dense else 0, pb_d, qb_d)
         colors = colors.at[dense_ids].set(colors_d)
     return colors, counts, overflow

@@ -131,24 +131,25 @@ def init_state(scene: GaussianScene, optimizer: optax.GradientTransformation,
 
 
 def _check_bwd_capacity(capacity, bucket_cfg, backend):
-    """Fail at build time, not with a 40 s compile-then-VMEM-OOM: the
-    backward kernel's Gaussian axis is bounded by MAX_BWD_CAPACITY
-    (pallas_kernel.py — measured VMEM ceiling). Oversized capacities mean
-    the tile grid is too coarse for the scene's density; use more tiles."""
+    """Fail at build time, not with a 40 s compile-then-VMEM-OOM. Capacities
+    up to pallas_kernel.MAX_BWD_CAPACITY use the monolithic fused kernel;
+    above it the train steps route to the Gaussian-axis CHUNKED kernel
+    (ops.pallas_chunked) whose own ceiling is MAX_CHUNKED_CAPACITY —
+    only beyond that is the grid truly too coarse for the scene."""
     if backend != "pallas":
         return
-    from sgrt_tpu.ops.pallas_kernel import MAX_BWD_CAPACITY
+    from sgrt_tpu.ops.pallas_chunked import MAX_CHUNKED_CAPACITY
 
     caps = [capacity]
     if bucket_cfg is not None:
         caps += [bucket_cfg.cap_dense, bucket_cfg.cap_sparse]
     worst = max(caps)
-    if worst > MAX_BWD_CAPACITY:
+    if worst > MAX_CHUNKED_CAPACITY:
         raise ValueError(
-            f"per-tile capacity {worst} exceeds the backward kernel's VMEM "
-            f"ceiling ({MAX_BWD_CAPACITY}); use a finer tile grid so fewer "
-            "Gaussians land in each tile (scripts/large_n.py measures this "
-            "envelope)")
+            f"per-tile capacity {worst} exceeds even the chunked backward "
+            f"kernel's ceiling ({MAX_CHUNKED_CAPACITY}); use a finer tile "
+            "grid so fewer Gaussians land in each tile (scripts/large_n.py "
+            "measures this envelope)")
 
 
 def _xla_tile_render(tiled, o, d, q_block: int, tile_batch: int):
@@ -202,13 +203,21 @@ def make_frame_value_and_grad(
     exposed so callers (verify_tpu, tests) can compare raw gradients across
     backends without an optimizer in the loop. Unjitted; jit at the call
     site."""
-    from sgrt_tpu.ops.pallas_kernel import _block_sizes
+    from sgrt_tpu.ops.pallas_kernel import MAX_BWD_CAPACITY, _block_sizes
     from sgrt_tpu.ops.render import _tile_rays
     from sgrt_tpu.ops.tiling import gather_tiles, tile_indices
 
-    pb, qb = _block_sizes(capacity)
-    capacity = -(-capacity // qb) * qb
     _check_bwd_capacity(capacity, bucket_cfg, backend)
+    use_chunked = backend == "pallas" and capacity > MAX_BWD_CAPACITY
+    if use_chunked:
+        # dense-scene route: Gaussian-axis chunked kernel (no VMEM wall)
+        from sgrt_tpu.ops.pallas_chunked import chunk_plan
+
+        capacity, ck = chunk_plan(capacity)
+        pb = qb = None
+    else:
+        pb, qb = _block_sizes(capacity)
+        capacity = -(-capacity // qb) * qb
 
     def masked_scene(scene):
         fields = {
@@ -221,6 +230,12 @@ def make_frame_value_and_grad(
     def tile_render(scene, idx, counts, o, d):
         tiled = gather_tiles(scene, idx)
         if backend == "pallas":
+            if use_chunked:
+                from sgrt_tpu.ops.pallas_chunked import render_tiles_chunked
+
+                return render_tiles_chunked(tiled, o, d, counts, ck=ck,
+                                            erf_name=erf_name,
+                                            exp_name=exp_name)
             from sgrt_tpu.ops.pallas_kernel import render_tiles_pallas
 
             return render_tiles_pallas(tiled, o, d, counts, pb=pb, qb=qb,
@@ -280,7 +295,8 @@ def _make_sharded_bucketed_step(
     """
     import math
 
-    from sgrt_tpu.ops.pallas_kernel import _block_sizes, render_tiles_pallas
+    from sgrt_tpu.ops.pallas_kernel import (MAX_BWD_CAPACITY, _block_sizes,
+                                            render_tiles_pallas)
     from sgrt_tpu.ops.render import _tile_rays
     from sgrt_tpu.ops.scheduler import bucketed_tile_indices
     from sgrt_tpu.ops.tiling import as_grid, gather_tiles
@@ -298,13 +314,29 @@ def _make_sharded_bucketed_step(
     pb_s, qb_s = _block_sizes(cfg.cap_sparse)
     cfg = cfg.round_to(math.lcm(pb_d, qb_d), math.lcm(pb_s, qb_s))
     _check_bwd_capacity(cfg.cap_dense, None, "pallas")
+    # dense bucket above the monolithic VMEM ceiling → chunked kernel
+    chunk_dense = cfg.cap_dense > MAX_BWD_CAPACITY
+    if chunk_dense:
+        from sgrt_tpu.ops.pallas_chunked import chunk_plan
+
+        cap_d, ck_d = chunk_plan(cfg.cap_dense)
+        cfg = cfg._replace(cap_dense=cap_d)
+
+    def _render_dense(ms, idx_d, cnt_d, d_d, o):
+        if chunk_dense:
+            from sgrt_tpu.ops.pallas_chunked import render_tiles_chunked
+
+            return render_tiles_chunked(gather_tiles(ms, idx_d), o, d_d,
+                                        cnt_d, ck=ck_d, erf_name=erf_name,
+                                        exp_name=exp_name)
+        return render_tiles_pallas(gather_tiles(ms, idx_d), o, d_d, cnt_d,
+                                   pb=pb_d, qb=qb_d, erf_name=erf_name,
+                                   exp_name=exp_name)
 
     def local_vg(scene, idx_d, cnt_d, d_d, tgt_d, idx_s, cnt_s, d_s, tgt_s, o):
         def f(s):
             ms = masked_scene(s)
-            cd = render_tiles_pallas(gather_tiles(ms, idx_d), o, d_d, cnt_d,
-                                     pb=pb_d, qb=qb_d, erf_name=erf_name,
-                                     exp_name=exp_name)
+            cd = _render_dense(ms, idx_d, cnt_d, d_d, o)
             cs = render_tiles_pallas(gather_tiles(ms, idx_s), o, d_s, cnt_s,
                                      pb=pb_s, qb=qb_s, erf_name=erf_name,
                                      exp_name=exp_name)
@@ -393,15 +425,29 @@ def make_frame_train_step(
     device carries a balanced slice of both buckets; bucket sizes must
     divide the mesh (probe_buckets(..., multiple_of=D)).
     """
-    from sgrt_tpu.ops.pallas_kernel import _block_sizes
+    from sgrt_tpu.ops.pallas_kernel import MAX_BWD_CAPACITY, _block_sizes
     from sgrt_tpu.ops.render import _tile_rays, _untile_image
     from sgrt_tpu.ops.tiling import gather_tiles, tile_indices
 
     from sgrt_tpu.ops.tiling import as_grid
 
-    pb, qb = _block_sizes(capacity)
-    capacity = -(-capacity // qb) * qb
+    # An adaptive bucket config that selected single-launch (n_dense == 0)
+    # still carries the probed capacity; the mesh path below would
+    # otherwise silently drop it and fall back to the `capacity` kwarg
+    # (default 128) — honor the larger of the two.
+    if (bucket_cfg is not None and backend == "pallas"
+            and not bucket_cfg.n_dense and mesh is not None):
+        capacity = max(capacity, bucket_cfg.cap_dense)
     _check_bwd_capacity(capacity, bucket_cfg, backend)
+    use_chunked = backend == "pallas" and capacity > MAX_BWD_CAPACITY
+    if use_chunked:
+        from sgrt_tpu.ops.pallas_chunked import chunk_plan
+
+        capacity, ck = chunk_plan(capacity)
+        pb = qb = None
+    else:
+        pb, qb = _block_sizes(capacity)
+        capacity = -(-capacity // qb) * qb
     tx_, ty_ = as_grid(tiles)
     t2 = tx_ * ty_
 
@@ -427,6 +473,12 @@ def make_frame_train_step(
     def tile_render(scene, idx, counts, o, d):
         tiled = gather_tiles(scene, idx)
         if backend == "pallas":
+            if use_chunked:
+                from sgrt_tpu.ops.pallas_chunked import render_tiles_chunked
+
+                return render_tiles_chunked(tiled, o, d, counts, ck=ck,
+                                            erf_name=erf_name,
+                                            exp_name=exp_name)
             from sgrt_tpu.ops.pallas_kernel import render_tiles_pallas
 
             return render_tiles_pallas(tiled, o, d, counts, pb=pb, qb=qb,
@@ -483,6 +535,131 @@ def make_frame_train_step(
     return step
 
 
+def make_slab_frame_train_step(
+    optimizer: optax.GradientTransformation,
+    *,
+    width: int = 512,
+    height: int = 512,
+    tiles=(64, 32),
+    capacity: int = 4096,
+    slab_tiles: int = 64,
+    erf_name: str = "as5",
+    exp_name: str = "exact",
+    trainable: tuple[str, ...] = ("mu", "sigma", "magnitude", "albedo"),
+    focal_length=1.0,
+):
+    """Host-SLABBED train step for fitting-scale dense scenes.
+
+    A single-program step at 100k Gaussians runs ~90 s of kernel time —
+    and the device runtime enforces a per-program execution budget
+    (measured on the tunneled v5e: programs past ~60-90 s are killed with
+    "TPU worker crashed", reproduced with a plain XLA matmul loop, so it
+    is an infrastructure property, not a kernel property). This step
+    splits the count-sorted tile axis into slabs of `slab_tiles` tiles and
+    runs ONE bounded fwd+bwd device program per slab, accumulating
+    gradients across slabs — exact, because the frame loss is a sum over
+    pixels, so per-slab sum-of-squared-error gradients add. The optimizer
+    applies once at the end.
+
+    Work per slab is O(sum of count² over its tiles): tiles are processed
+    in count-sorted order, so the densest slab bounds the largest program;
+    size `slab_tiles` so that slab stays well under the execution budget
+    (scripts/large_n.py derives it from the probed counts). Capacities
+    above pallas_kernel.MAX_BWD_CAPACITY route to the chunked kernel
+    exactly as make_frame_train_step.
+
+    Returns step(state, view, o, dirs, target) → (state, loss, overflow).
+    Dispatches n_slabs + 2 device programs per step with no host syncs in
+    between (device execution pipelines behind the dispatch loop).
+    """
+    from sgrt_tpu.ops.pallas_kernel import MAX_BWD_CAPACITY, _block_sizes
+    from sgrt_tpu.ops.render import _tile_rays
+    from sgrt_tpu.ops.tiling import as_grid, gather_tiles, tile_indices
+
+    _check_bwd_capacity(capacity, None, "pallas")
+    use_chunked = capacity > MAX_BWD_CAPACITY
+    if use_chunked:
+        from sgrt_tpu.ops.pallas_chunked import chunk_plan
+
+        capacity, ck = chunk_plan(capacity)
+    else:
+        pb, qb = _block_sizes(capacity)
+        capacity = -(-capacity // qb) * qb
+    tx_, ty_ = as_grid(tiles)
+    t2 = tx_ * ty_
+    slab_tiles = min(slab_tiles, t2)
+    while t2 % slab_tiles:      # largest divisor of the tile count
+        slab_tiles -= 1
+    n_slabs = t2 // slab_tiles
+
+    def masked_scene(scene):
+        fields = {
+            f: (getattr(scene, f) if f in trainable
+                else jax.lax.stop_gradient(getattr(scene, f)))
+            for f in ("mu", "sigma", "magnitude", "albedo")
+        }
+        return GaussianScene(**fields)
+
+    @jax.jit
+    def _prep(scene, view, dirs, target):
+        idx, counts = tile_indices(scene, view, tiles, capacity,
+                                   focal_length=focal_length)
+        order = jnp.argsort(-counts)
+        d = _tile_rays(dirs, height, width, tiles)
+        tgt = _tile_rays(target.reshape(-1, 3), height, width, tiles)
+        overflow = jnp.sum(counts > capacity).astype(jnp.int32)
+        return (idx[order], counts[order], d[order], tgt[order], overflow)
+
+    @jax.jit
+    def _slab_vg(scene, idx_s, cnt_s, d_s, tgt_s, o):
+        def f(s):
+            tiled = gather_tiles(masked_scene(s), idx_s)
+            if use_chunked:
+                from sgrt_tpu.ops.pallas_chunked import render_tiles_chunked
+
+                colors = render_tiles_chunked(tiled, o, d_s, cnt_s, ck=ck,
+                                              erf_name=erf_name,
+                                              exp_name=exp_name)
+            else:
+                from sgrt_tpu.ops.pallas_kernel import render_tiles_pallas
+
+                colors = render_tiles_pallas(tiled, o, d_s, cnt_s, pb=pb,
+                                             qb=qb, erf_name=erf_name,
+                                             exp_name=exp_name)
+            return jnp.sum((colors - tgt_s) ** 2)
+
+        return jax.value_and_grad(f)(scene)
+
+    @jax.jit
+    def _accum(tot, grads, l, g):
+        return tot + l, jax.tree_util.tree_map(jnp.add, grads, g)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _apply(state: FitState, grads, sq_sum):
+        loss = sq_sum / (height * width * 3)
+        grads = jax.tree_util.tree_map(
+            lambda gr: gr / (height * width * 3), grads)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.scene)
+        scene = optax.apply_updates(state.scene, updates)
+        return FitState(scene, opt_state, state.step + 1), loss
+
+    def step(state: FitState, view, o, dirs, target):
+        idx, counts, d, tgt, overflow = _prep(state.scene, view, dirs,
+                                              target)
+        tot = jnp.zeros((), jnp.float32)
+        grads = jax.tree_util.tree_map(jnp.zeros_like, state.scene)
+        for s in range(n_slabs):
+            sl = slice(s * slab_tiles, (s + 1) * slab_tiles)
+            l, g = _slab_vg(state.scene, idx[sl], counts[sl], d[sl],
+                            tgt[sl], o)
+            tot, grads = _accum(tot, grads, l, g)
+        state, loss = _apply(state, grads, tot)
+        return state, loss, overflow
+
+    return step
+
+
 def make_aniso_frame_train_step(
     optimizer: optax.GradientTransformation,
     *,
@@ -511,7 +688,8 @@ def make_aniso_frame_train_step(
     import math
 
     from sgrt_tpu.ops.anisotropic import gather_tiles_aniso, iso_proxy
-    from sgrt_tpu.ops.pallas_aniso import render_tiles_pallas_aniso
+    from sgrt_tpu.ops.pallas_aniso import (MAX_BWD_CAPACITY_ANISO,
+                                           render_tiles_pallas_aniso)
     from sgrt_tpu.ops.pallas_kernel import _block_sizes
     from sgrt_tpu.ops.render import _tile_rays
     from sgrt_tpu.ops.tiling import as_grid, tile_indices
@@ -519,7 +697,13 @@ def make_aniso_frame_train_step(
     pb, qb = _block_sizes(capacity)
     align = math.lcm(pb, qb)
     capacity = max(align, -(-capacity // align) * align)
-    _check_bwd_capacity(capacity, None, "pallas")
+    # the aniso backward holds 8 full (N, RB) planes vs the isotropic 6 —
+    # its own, smaller ceiling (pallas_aniso.MAX_BWD_CAPACITY_ANISO)
+    if capacity > MAX_BWD_CAPACITY_ANISO:
+        raise ValueError(
+            f"per-tile capacity {capacity} exceeds the anisotropic backward "
+            f"kernel's VMEM ceiling ({MAX_BWD_CAPACITY_ANISO}); use a finer "
+            "tile grid so fewer Gaussians land in each tile")
     tx_, ty_ = as_grid(tiles)
     t2 = tx_ * ty_
     if mesh is not None and t2 % mesh.devices.size:
