@@ -180,3 +180,29 @@ def test_capacity_beyond_chunked_ceiling_raises():
     with pytest.raises(ValueError, match="chunked"):
         _check_bwd_capacity(MAX_CHUNKED_CAPACITY + 1, None, "pallas")
     _check_bwd_capacity(MAX_CHUNKED_CAPACITY, None, "pallas")  # no raise
+
+
+def test_chunked_saved_t_matches_recompute(setup):
+    """The saved-T backward schedule must produce identical gradients to
+    the recompute schedule (same math, different residuals)."""
+    base, sp, o, dirs, oc = setup
+    counts = jnp.array([base.n], jnp.int32)
+
+    def loss(save_t):
+        def f(oc, sig, mag, alb, d):
+            return jnp.sum(_chunked(oc, sig, mag, alb, d, counts,
+                                    save_t=save_t) ** 2)
+        return jax.grad(f, argnums=(0, 1, 2, 3, 4))(
+            oc, sp.sigma, sp.magnitude, sp.albedo, dirs)
+
+    g_re = loss(False)
+    g_st = loss(True)
+    # T is stored to f32 in HBM, so the schedules differ by one rounding
+    # of each factor — compare scale-relative, as the monolithic
+    # saved-T test does
+    for nm, a, b in zip(("mu", "sigma", "magnitude", "albedo", "dirs"),
+                        g_st, g_re):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-8)
+        np.testing.assert_allclose(a / scale, b / scale, atol=5e-5,
+                                   err_msg=nm)
