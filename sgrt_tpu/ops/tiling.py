@@ -112,24 +112,27 @@ def tile_membership(scene: GaussianScene, view: jnp.ndarray, tiles,
     testing; ignores focal_length.
     """
     tx, ty = as_grid(tiles)
-    if mode == "reference":
-        mu2, sigma_p, valid = project_gaussians(scene, view)
-    else:
-        mu2, sigma_p, valid = project_gaussians(scene, view, focal_length)
-    centers = tile_centers((tx, ty))                       # (T2,2)
-    half = jnp.array([1.0 / tx, 1.0 / ty], jnp.float32)
-    # per-axis (T2, N) tests instead of one (T2, N, 2) tensor: at fitting
-    # scale (T2=2048, N=50k) the stacked form peaks at ~1.6 GB of f32
-    # temporaries; the split form peaks at (T2, N)
-    reach = 3.3 * sigma_p[None, :]                         # (1, N)
-    ok = valid[None, :]
-    for ax in (0, 1):
-        bound = half[ax] + reach
+    # named_scope: trace attribution for docs/TRACE.md ("tiling" span)
+    with jax.named_scope("tiling"):
         if mode == "reference":
-            bound = bound + jnp.abs(centers[:, ax])[:, None]
-        ok = ok & (jnp.abs(centers[:, ax][:, None] - mu2[None, :, ax])
-                   <= bound)
-    return ok
+            mu2, sigma_p, valid = project_gaussians(scene, view)
+        else:
+            mu2, sigma_p, valid = project_gaussians(scene, view,
+                                                    focal_length)
+        centers = tile_centers((tx, ty))                   # (T2,2)
+        half = jnp.array([1.0 / tx, 1.0 / ty], jnp.float32)
+        # per-axis (T2, N) tests instead of one (T2, N, 2) tensor: at
+        # fitting scale (T2=2048, N=50k) the stacked form peaks at ~1.6 GB
+        # of f32 temporaries; the split form peaks at (T2, N)
+        reach = 3.3 * sigma_p[None, :]                     # (1, N)
+        ok = valid[None, :]
+        for ax in (0, 1):
+            bound = half[ax] + reach
+            if mode == "reference":
+                bound = bound + jnp.abs(centers[:, ax])[:, None]
+            ok = ok & (jnp.abs(centers[:, ax][:, None] - mu2[None, :, ax])
+                       <= bound)
+        return ok
 
 
 def compact_rows(member: jnp.ndarray, capacity: int, n: int) -> jnp.ndarray:
@@ -142,16 +145,17 @@ def compact_rows(member: jnp.ndarray, capacity: int, n: int) -> jnp.ndarray:
     order. 13x faster on TPU than a vmapped jnp.nonzero(size=...) (which
     lowers to a per-row sort) and bit-identical to it.
     """
-    q = jnp.arange(n, dtype=jnp.int32)[None, :]
-    key = jnp.where(member, q, n + q)
-    k = min(capacity, n)
-    neg_top, _ = jax.lax.top_k(-key, k)
-    idx = -neg_top
-    idx = jnp.where(idx >= n, n, idx).astype(jnp.int32)
-    if capacity > n:  # capacity exceeding the scene: pad with the dummy slot
-        pad = jnp.full((idx.shape[0], capacity - n), n, jnp.int32)
-        idx = jnp.concatenate([idx, pad], axis=1)
-    return idx
+    with jax.named_scope("tiling"):
+        q = jnp.arange(n, dtype=jnp.int32)[None, :]
+        key = jnp.where(member, q, n + q)
+        k = min(capacity, n)
+        neg_top, _ = jax.lax.top_k(-key, k)
+        idx = -neg_top
+        idx = jnp.where(idx >= n, n, idx).astype(jnp.int32)
+        if capacity > n:  # capacity past the scene: pad with the dummy slot
+            pad = jnp.full((idx.shape[0], capacity - n), n, jnp.int32)
+            idx = jnp.concatenate([idx, pad], axis=1)
+        return idx
 
 
 @functools.partial(jax.jit, static_argnames=("tiles", "capacity"))
@@ -224,24 +228,25 @@ def gather_tiles(scene: GaussianScene, idx: jnp.ndarray) -> GaussianScene:
 
     All four fields are packed into one (N+1, 8) matrix so the gather is a
     single one-hot MXU matmul (see _onehot_gather)."""
-    n = scene.n
-    packed = jnp.concatenate(
-        [scene.mu, scene.sigma[:, None], scene.magnitude[:, None],
-         scene.albedo], axis=1,
-    )                                                       # (N, 8)
-    dummy = jnp.zeros((1, 8), packed.dtype).at[0, 3].set(1.0)
-    packed = jnp.concatenate([packed, dummy], axis=0)       # (N+1, 8)
-    t2, k = idx.shape
-    if n + 1 > ONEHOT_MAX_SCENE_ROWS:
-        out = packed[idx.reshape(-1)].reshape(t2, k, 8)
-    else:
-        out = _onehot_gather(packed, idx.reshape(-1)).reshape(t2, k, 8)
-    return GaussianScene(
-        mu=out[..., 0:3],
-        sigma=out[..., 3],
-        magnitude=out[..., 4],
-        albedo=out[..., 5:8],
-    )
+    with jax.named_scope("gather"):
+        n = scene.n
+        packed = jnp.concatenate(
+            [scene.mu, scene.sigma[:, None], scene.magnitude[:, None],
+             scene.albedo], axis=1,
+        )                                                   # (N, 8)
+        dummy = jnp.zeros((1, 8), packed.dtype).at[0, 3].set(1.0)
+        packed = jnp.concatenate([packed, dummy], axis=0)   # (N+1, 8)
+        t2, k = idx.shape
+        if n + 1 > ONEHOT_MAX_SCENE_ROWS:
+            out = packed[idx.reshape(-1)].reshape(t2, k, 8)
+        else:
+            out = _onehot_gather(packed, idx.reshape(-1)).reshape(t2, k, 8)
+        return GaussianScene(
+            mu=out[..., 0:3],
+            sigma=out[..., 3],
+            magnitude=out[..., 4],
+            albedo=out[..., 5:8],
+        )
 
 
 def max_tile_count(scene: GaussianScene, view: jnp.ndarray, tiles,
