@@ -314,9 +314,14 @@ def main():
         "p/q loops (ceil(c/pb)pb x ceil(c/qb)qb x rays x 5 taps + base pass).",
         "Backward ≈ 1x forward erf-work (saved-T: pass A skipped, gradient",
         "q-pass only; measured bwd-only = 0.9-1.3x fwd on this config).",
-        "Small scenes (cube) are DISPATCH-bound on this tunneled runtime:",
-        "the per-call dispatch floor below is comparable to their whole",
-        "device time, so their achieved % understates the kernel.",
+        "Small scenes (cube): the round-3/4 'dispatch-bound' explanation is",
+        "RETIRED — the round-5 xprof trace (scripts/trace_step.py parser on",
+        "a 20-frame cube capture) attributes 92.6% of the cube frame's",
+        "device time to the fwd kernel itself (gather 4.7%, tiling 0.6%),",
+        "and cross-frame launch batching (frame.render_orbit_frames_batched,",
+        "parity-exact) gives NO speedup. The cube's remaining gap to peak",
+        "is block quantization (tiny per-tile counts round to 8x16 pair",
+        "blocks) plus per-grid-step fixed cost, both inside the kernel.",
         "",
         "| kernel | time (ms) | erf-work | achieved Gerf/s | % of kernel peak |",
         "|---|---|---|---|---|",
@@ -353,6 +358,16 @@ def main():
             " state), while vg must write every raw gradient to HBM.",
         ]
     lines += [
+        "",
+        "NOTE on small-scene rows and session noise: whole-frame wall",
+        "times on this tunneled runtime drift ±30-50% minute to minute",
+        "(README), which dominates a 4-7 ms cube frame. The drift-free",
+        "measurement is the xprof trace (docs/TRACE.md tooling): a",
+        "20-frame cube capture shows module time 4.00 ms/frame of which",
+        "3.70 ms is the fwd kernel — 0.42 G quantized erf / 3.70 ms =",
+        "114 Gerf/s = ~89% of the kernel's full-occupancy peak. The",
+        "wall-clock cube rows above bundle that same kernel with",
+        "whatever the session's dispatch pipeline adds.",
         "",
         "Interpretation: the achieved % is against the kernel's own",
         "full-occupancy rate, which the FMA cross-check above pins at the",

@@ -187,6 +187,141 @@ def render_orbit_frames(scene: GaussianScene, angles, offset=-4.0,
     return jnp.stack(imgs, axis=0), jnp.sum(jnp.stack(ovfs))
 
 
+_BATCH_STATICS = ("width", "height", "tiles", "capacity", "n_frames",
+                  "erf_name", "exp_name", "bucket_cfg")
+
+
+@functools.partial(jax.jit, static_argnames=_BATCH_STATICS)
+def _render_orbit_batch_impl(scene, angles, offset=-4.0, focal_length=1.0, *,
+                             width: int, height: int, tiles, capacity: int,
+                             n_frames: int, erf_name: str = "as5",
+                             exp_name: str = "exact", bucket_cfg=None):
+    """F orbit frames in ONE (or two, bucketed) kernel launches: the tile
+    axis is batched ACROSS frames (B = F * T2). Per-frame re-tiling still
+    happens (the reference re-tiles every frame, main.cpp:263); only the
+    LAUNCHES fuse. Needs per-tile camera origins — render_tiles_pallas
+    takes o as (B, 3).
+
+    Measured effect on this rig (docs/EFFICIENCY.md): parity-exact but NO
+    speedup over the per-frame loop (cube 4.8 vs 4.4 ms/frame) — the
+    per-frame path's dispatch overlaps device compute via pipelined
+    dispatch, and the xprof trace shows the cube frame is 92.6% kernel
+    time, so there is no launch overhead left to amortize. Kept because
+    the measurement settles the round-3/4 "dispatch-bound" hypothesis and
+    the batched form is the right shape for rigs where dispatch does not
+    pipeline."""
+    from sgrt_tpu.ops.pallas_kernel import _block_sizes, render_tiles_pallas
+    from sgrt_tpu.ops.tiling import as_grid
+
+    tx, ty = as_grid(tiles)
+    t2 = tx * ty
+
+    if bucket_cfg is not None and not bucket_cfg.n_dense:
+        capacity = max(capacity, bucket_cfg.cap_dense)
+        bucket_cfg = None
+
+    if bucket_cfg is None:
+        pb, qb = _block_sizes(capacity)
+        cap = -(-capacity // qb) * qb
+        idxs, cnts, ds, origins = [], [], [], []
+        for f in range(n_frames):
+            cam = orbit_camera(angles[f], offset, focal_length, width,
+                               height)
+            o, dirs = cam.rays()
+            idx, cnt = tile_indices(scene, cam.view_matrix, tiles, cap,
+                                    focal_length=focal_length)
+            idxs.append(idx)
+            cnts.append(cnt)
+            ds.append(_tile_rays(dirs, height, width, tiles))
+            origins.append(jnp.broadcast_to(o, (t2, 3)))
+        idx = jnp.concatenate(idxs)
+        counts = jnp.concatenate(cnts)
+        d = jnp.concatenate(ds)
+        o_b = jnp.concatenate(origins)
+        tiled = gather_tiles(scene, idx)
+        colors = render_tiles_pallas(tiled, o_b, d, counts, pb=pb, qb=qb,
+                                     erf_name=erf_name, exp_name=exp_name)
+        overflow = jnp.sum(counts > cap).astype(jnp.int32)
+        imgs = jnp.stack([
+            _untile_image(colors[f * t2:(f + 1) * t2], height, width, tiles)
+            for f in range(n_frames)])
+        return imgs, overflow
+
+    # bucketed: one dense + one sparse launch across ALL frames
+    import math
+
+    from sgrt_tpu.ops.scheduler import bucketed_tile_indices
+
+    cfg = bucket_cfg
+    pb_d, qb_d = _block_sizes(cfg.cap_dense)
+    pb_s, qb_s = _block_sizes(cfg.cap_sparse)
+    cfg = cfg.round_to(math.lcm(pb_d, qb_d), math.lcm(pb_s, qb_s))
+    per = {"idx_d": [], "cnt_d": [], "d_d": [], "o_d": [], "ids_d": [],
+           "idx_s": [], "cnt_s": [], "d_s": [], "o_s": [], "ids_s": []}
+    overflow = jnp.zeros((), jnp.int32)
+    for f in range(n_frames):
+        cam = orbit_camera(angles[f], offset, focal_length, width, height)
+        o, dirs = cam.rays()
+        dense_ids, idx_d, sparse_ids, idx_s, counts = bucketed_tile_indices(
+            scene, cam.view_matrix, tiles, cfg, focal_length=focal_length)
+        overflow += (jnp.sum(counts[sparse_ids] > cfg.cap_sparse)
+                     + jnp.sum(counts[dense_ids] > cfg.cap_dense)
+                     ).astype(jnp.int32)
+        d = _tile_rays(dirs, height, width, tiles)
+        per["idx_d"].append(idx_d)
+        per["cnt_d"].append(counts[dense_ids])
+        per["d_d"].append(d[dense_ids])
+        per["o_d"].append(jnp.broadcast_to(o, (cfg.n_dense, 3)))
+        per["ids_d"].append(dense_ids)
+        per["idx_s"].append(idx_s)
+        per["cnt_s"].append(counts[sparse_ids])
+        per["d_s"].append(d[sparse_ids])
+        per["o_s"].append(jnp.broadcast_to(o, (t2 - cfg.n_dense, 3)))
+        per["ids_s"].append(sparse_ids)
+    cat = {k: jnp.concatenate(v) for k, v in per.items() if k[:3] != "ids"}
+    colors_d = render_tiles_pallas(
+        gather_tiles(scene, cat["idx_d"]), cat["o_d"], cat["d_d"],
+        cat["cnt_d"], pb=pb_d, qb=qb_d, erf_name=erf_name, exp_name=exp_name)
+    colors_s = render_tiles_pallas(
+        gather_tiles(scene, cat["idx_s"]), cat["o_s"], cat["d_s"],
+        cat["cnt_s"], pb=pb_s, qb=qb_s, erf_name=erf_name, exp_name=exp_name)
+    nd, ns = cfg.n_dense, t2 - cfg.n_dense
+    imgs = []
+    for f in range(n_frames):
+        colors = jnp.zeros((t2,) + colors_s.shape[1:], colors_s.dtype)
+        colors = colors.at[per["ids_s"][f]].set(colors_s[f * ns:(f + 1) * ns])
+        colors = colors.at[per["ids_d"][f]].set(colors_d[f * nd:(f + 1) * nd])
+        imgs.append(_untile_image(colors, height, width, tiles))
+    return jnp.stack(imgs), overflow
+
+
+def render_orbit_frames_batched(scene: GaussianScene, angles, offset=-4.0,
+                                focal_length=1.0, *, batch_frames: int = 8,
+                                **cfg):
+    """Orbit sequence with cross-frame tile batching: frames render in
+    batches of `batch_frames`, each batch ONE kernel launch (two when
+    bucketed) — the small-scene efficiency path (amortizes the dispatch
+    floor the per-frame loop pays; see _render_orbit_batch_impl). The
+    trailing partial batch pads with repeated angles and drops the extra
+    frames, so every batch reuses one compiled executable.
+
+    Returns (imgs (F, H, W, 3), overflow summed over frames)."""
+    angles = jnp.asarray(angles, jnp.float32)
+    f_total = angles.shape[0]
+    bf = max(1, min(batch_frames, f_total))
+    imgs, ovf = [], jnp.zeros((), jnp.int32)
+    for s in range(0, f_total, bf):
+        batch = angles[s:s + bf]
+        pad = bf - batch.shape[0]
+        if pad:
+            batch = jnp.concatenate([batch, jnp.repeat(batch[-1:], pad)])
+        im, o = _render_orbit_batch_impl(scene, batch, offset, focal_length,
+                                         n_frames=bf, **cfg)
+        imgs.append(im[: bf - pad])
+        ovf = ovf + o
+    return jnp.concatenate(imgs, axis=0), ovf
+
+
 @functools.partial(jax.jit, static_argnames=("tiles",))
 def _probe_one(scene: GaussianScene, angle, offset, focal_length, tiles):
     cam = orbit_camera(angle, offset, focal_length, 8, 8)

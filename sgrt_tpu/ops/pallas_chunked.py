@@ -917,7 +917,9 @@ def render_tiles_chunked(tiled_scene, o, tile_dirs, counts=None, *,
         dpb, dqb = _block_sizes(min(k, ck))
         pb = dpb if pb is None else pb
         qb = dqb if qb is None else qb
-    oc = tiled_scene.mu - o[None, None, :]
+    o = jnp.asarray(o)
+    o_b = o[None, None, :] if o.ndim == 1 else o[:, None, :]
+    oc = tiled_scene.mu - o_b
     dirs_t = jnp.transpose(tile_dirs, (0, 2, 1))
     colors_t = render_fused_chunked(
         oc, tiled_scene.sigma, tiled_scene.magnitude, tiled_scene.albedo,

@@ -811,13 +811,17 @@ def render_tiles_pallas(tiled_scene: GaussianScene, o, tile_dirs, counts=None,
     (T2, P, 3). The tile axis is the leading Pallas grid dimension (the
     analog of the reference's thread-pool tile tasks, rt.h:344-404); counts
     make per-tile cost scale with the true member count, like the
-    reference's per-tile vectors."""
+    reference's per-tile vectors. o may be a single (3,) origin or a
+    per-tile (T2, 3) batch (cross-frame tile batching: tiles from
+    different camera positions in one launch)."""
     k = tiled_scene.mu.shape[1]
     if pb is None or qb is None:
         dpb, dqb = _block_sizes(k)
         pb = dpb if pb is None else pb
         qb = dqb if qb is None else qb
-    oc = tiled_scene.mu - o[None, None, :]                   # (T2, K, 3)
+    o = jnp.asarray(o)
+    o_b = o[None, None, :] if o.ndim == 1 else o[:, None, :]
+    oc = tiled_scene.mu - o_b                                # (T2, K, 3)
     dirs_t = jnp.transpose(tile_dirs, (0, 2, 1))             # (T2, 3, P)
     colors_t = render_fused(
         oc, tiled_scene.sigma, tiled_scene.magnitude, tiled_scene.albedo,

@@ -48,29 +48,145 @@ class BucketConfig(NamedTuple):
         )
 
 
-# Extra cost of the second bucket launch, in erf-equivalents: kernel
-# dispatch + the separate gather + the scatter reassembly, ~4 ms at the
-# ~120 Gerf/s kernel rate (docs/EFFICIENCY.md). Bucketing must save at
-# least this much work to pay for itself — on low-skew scenes like the
-# cube a single launch wins (measured: 8.6 vs 13.4 ms/frame), on the
-# teapot (~30x skew, mostly-empty sparse tiles) buckets win by ~15%
-# (59.5 vs 69.9 ms same session).
+# STATIC FALLBACK cost-model constants (used off-TPU, e.g. the CPU test
+# rig, where a measured calibration is meaningless). On the TPU the model
+# is CALIBRATED at probe time — see calibrate_cost_model(): the round-4
+# review found these hardcoded values silently flipped the
+# single-vs-two-launch decision as session throughput drifted (cube:
+# the stale constants chose single-launch at 5.07 ms/frame when buckets
+# measured 4.10 ms same-session).
 LAUNCH_OVERHEAD_ERF = 5e8
-
-# Per capacity-row-per-ray cost that is NOT count-bounded, in
-# erf-equivalents: the one-hot gather, the in-kernel prep matmul/exp, the
-# base pass, and block DMA all scale with the bucket CAPACITY even for
-# near-empty tiles. Calibrated on the teapot (32,16) frame: the measured
-# single-vs-bucketed gap (~10 ms) over the capacity-row delta gives ~10
-# erf-equivalents per row*ray.
 LINEAR_ERF_PER_ROW_RAY = 10.0
+_STATIC_RATE_ERF = 120e9   # ~kernel plateau, erf/s (docs/EFFICIENCY.md)
+
+_CALIB = None
+
+
+def calibrate_cost_model(force: bool = False):
+    """One-shot MEASURED cost model for the launch decision, cached per
+    process: {rate_erf (erf/s), linear_s (s per capacity-row-ray),
+    launch_s (s per extra kernel launch)}. Three tiny synthetic kernel
+    runs (dense-full for the quadratic rate; two empty-count capacities
+    for the linear and fixed terms). Off-TPU returns the static fallback
+    so CPU tests stay deterministic."""
+    global _CALIB
+    if _CALIB is not None and not force:
+        return _CALIB
+    import json
+    import os
+    import tempfile
+    import time
+
+    import jax
+
+    if jax.default_backend() != "tpu":
+        _CALIB = {
+            "rate_erf": _STATIC_RATE_ERF,
+            "linear_s": LINEAR_ERF_PER_ROW_RAY / _STATIC_RATE_ERF,
+            "launch_s": LAUNCH_OVERHEAD_ERF / _STATIC_RATE_ERF,
+            "measured": False,
+        }
+        return _CALIB
+
+    # disk cache: the measurement costs ~6 small-kernel compiles (~1-2 min
+    # in a fresh process). The constants are structural (device rate,
+    # in-program launch overhead), so a per-device-kind cache is sound;
+    # `force=True` re-measures.
+    cache = os.path.join(tempfile.gettempdir(),
+                         f"sgrt_cost_calib_{jax.devices()[0].device_kind}"
+                         .replace(" ", "_").replace("/", "_") + ".json")
+    if not force and os.path.exists(cache):
+        try:
+            with open(cache) as f:
+                _CALIB = json.load(f)
+            return _CALIB
+        except (OSError, ValueError):
+            pass
+
+    from sgrt_tpu.ops.pallas_kernel import render_fused
+
+    # All quantities come from DIFFERENCES of pipelined whole-call times,
+    # so the tunneled runtime's per-call dispatch overhead (1.3-5.5 ms,
+    # which an absolute measurement would misread as launch cost) cancels.
+    def mk(b, cap, full, seed):
+        key = jax.random.PRNGKey(seed)
+        oc = jax.random.normal(key, (b, cap, 3))
+        sig = jnp.full((b, cap), 0.3)
+        mag = jnp.ones((b, cap)) * (1.0 if full else 0.0)
+        alb = jnp.abs(jax.random.normal(key, (b, cap, 3)))
+        d = jax.random.normal(key, (b, 3, 128))
+        d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+        counts = jnp.full((b,), cap if full else 0, jnp.int32)
+        return (oc, sig, mag, alb, d, counts)
+
+    def timed(datas, reps=24):
+        """One jitted program containing len(datas) kernel launches
+        (distinct data defeats CSE), timed as pipelined throughput."""
+
+        @jax.jit
+        def f(datas):
+            tot = 0.0
+            for (oc, sig, mag, alb, d, counts) in datas:
+                tot += jnp.sum(render_fused(oc, sig, mag, alb, d, counts,
+                                            pb=8, qb=16))
+            return tot
+
+        float(f(datas))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = f(datas)
+        float(r)
+        return (time.perf_counter() - t0) / reps
+
+    a = mk(64, 256, True, 0)
+    b2 = mk(64, 256, True, 1)
+    ab = mk(128, 256, True, 2)        # same total work as a+b, ONE launch
+    e_lo = mk(64, 128, False, 3)
+    e_hi = mk(64, 1024, False, 4)
+    big = mk(64, 512, True, 5)
+
+    t_two = timed([a, b2])
+    t_one_big_b = timed([ab])
+    launch_s = max(5e-5, t_two - t_one_big_b)
+    t_lo = timed([e_lo])
+    t_hi = timed([e_hi])
+    linear_s = max(1e-13, (t_hi - t_lo) / (64 * (1024 - 128) * 128))
+    t_256 = timed([a])
+    t_512 = timed([big])
+    d_work = 5 * 64 * (512 * 512 - 256 * 256) * 128
+    d_lin = 64 * (512 - 256) * 128 * linear_s
+    rate_erf = d_work / max(t_512 - t_256 - d_lin, 1e-5)
+    _CALIB = {"rate_erf": float(rate_erf), "linear_s": float(linear_s),
+              "launch_s": float(launch_s), "measured": True}
+    try:
+        with open(cache, "w") as f:
+            json.dump(_CALIB, f)
+    except OSError:
+        pass
+    return _CALIB
+
+
+def _launch_time_s(counts, cap, rays_per_tile, calib):
+    """Seconds model of one count-bounded kernel launch over `counts` at
+    capacity `cap`: quantized pair-block erf work (mirrors
+    scripts/efficiency.py::kernel_work_erf) at the measured rate, plus the
+    capacity-linear per-row costs (prep/base/DMA, NOT count-bounded) and
+    the fixed launch cost."""
+    import numpy as np
+
+    from sgrt_tpu.ops.pallas_kernel import _block_sizes
+
+    pb, qb = _block_sizes(cap)
+    c = np.maximum(np.asarray(counts, np.int64), 0)
+    quant = (np.ceil(c / pb) * pb * np.ceil(c / qb) * qb * 5).sum()
+    return (float(quant) * rays_per_tile / calib["rate_erf"]
+            + len(c) * cap * rays_per_tile * calib["linear_s"]
+            + calib["launch_s"])
 
 
 def _quantized_work_erf(counts, cap, rays_per_tile):
-    """erf-work model of the count-bounded kernel over `counts` at capacity
-    `cap` (the quant term mirrors scripts/efficiency.py::kernel_work_erf):
-    ceil(c/pb)pb x ceil(c/qb)qb pair blocks x 5 taps, plus the linear
-    capacity-proportional costs (gather/prep/base/DMA), x rays."""
+    """Back-compat erf-equivalent view of _launch_time_s (tests/scripts);
+    uses the static constants, not the calibration."""
     import numpy as np
 
     from sgrt_tpu.ops.pallas_kernel import _block_sizes
@@ -104,10 +220,6 @@ def probe_bucket_config(scene: GaussianScene, views, tiles,
     t2 = tx * ty
     if t2 % multiple_of:
         raise ValueError(f"tile count {t2} not divisible by {multiple_of}")
-    n_dense = max(1, int(t2 * dense_frac))
-    n_dense = min(-(-n_dense // multiple_of) * multiple_of, t2 - multiple_of)
-    if n_dense <= 0:   # degenerate grid: single bucket
-        n_dense = 0
     worst_sorted = None
     for view in views:
         counts = jnp.sort(
@@ -118,17 +230,34 @@ def probe_bucket_config(scene: GaussianScene, views, tiles,
             worst_sorted, counts)
     worst = jax.device_get(worst_sorted)
     cap_dense = max(32, int(float(worst[0]) * margin))
-    cap_sparse = max(32, int(float(worst[n_dense]) * margin))
-    if cap_sparse >= cap_dense:   # no skew — one bucket is enough
-        return BucketConfig(0, cap_dense, cap_dense)
-    w_single = _quantized_work_erf(worst, cap_dense, rays_per_tile)
-    w_bucket = (_quantized_work_erf(worst[:n_dense], cap_dense, rays_per_tile)
-                + _quantized_work_erf(worst[n_dense:], cap_sparse,
-                                      rays_per_tile)
-                + LAUNCH_OVERHEAD_ERF)
-    if w_single <= w_bucket:
-        return BucketConfig(0, cap_dense, cap_dense)
-    return BucketConfig(n_dense, cap_dense, cap_sparse)
+
+    # measured cost model (calibrated once per process on the TPU; static
+    # fallback off-TPU) — search candidate dense-bucket sizes and keep the
+    # modeled-fastest schedule; n_dense = 0 is the single-launch candidate
+    calib = calibrate_cost_model()
+    fracs = sorted({dense_frac, 1 / 32, 1 / 16, 1 / 8, 1 / 4})
+    cands = {0}
+    for fr in fracs:
+        nd = max(1, int(t2 * fr))
+        nd = min(-(-nd // multiple_of) * multiple_of, t2 - multiple_of)
+        if nd > 0:
+            cands.add(nd)
+    best = (None, None)
+    for nd in sorted(cands):
+        if nd == 0:
+            cfg = BucketConfig(0, cap_dense, cap_dense)
+            t = _launch_time_s(worst, cap_dense, rays_per_tile, calib)
+        else:
+            cap_sparse = max(32, int(float(worst[nd]) * margin))
+            if cap_sparse >= cap_dense:
+                continue
+            cfg = BucketConfig(nd, cap_dense, cap_sparse)
+            t = (_launch_time_s(worst[:nd], cap_dense, rays_per_tile, calib)
+                 + _launch_time_s(worst[nd:], cap_sparse, rays_per_tile,
+                                  calib))
+        if best[0] is None or t < best[0]:
+            best = (t, cfg)
+    return best[1]
 
 
 def bucketed_tile_indices(scene: GaussianScene, view: jnp.ndarray,
