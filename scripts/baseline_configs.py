@@ -211,6 +211,118 @@ def certify(name, obj_path, res, tiles, use_mesh):
     return row
 
 
+def certify_aniso(name, obj_path, res, tiles, scale_mul=(1.6, 0.7, 1.0)):
+    """Production ANISOTROPIC benchmark row (BASELINE config-4 wording
+    'fit means/covariances/opacities' exercised beyond the isotropic
+    sigma): stretched-scale teapot, fused aniso kernel fwd over an orbit,
+    pixel parity vs the XLA aniso formulation, gradient parity, and timed
+    fwd+bwd aniso train steps (bucketed, saved-T backward)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from sgrt_tpu.models.gaussians import scene_from_obj
+    from sgrt_tpu.ops import anisotropic as an
+    from sgrt_tpu.ops.frame import orbit_camera, probe_buckets, probe_capacity
+    from sgrt_tpu.parallel.fit import init_state, make_aniso_frame_train_step
+
+    iso = scene_from_obj(obj_path)
+    scene = an.from_isotropic(iso)
+    scene = scene.replace(scale=scene.scale * jnp.asarray([scale_mul],
+                                                          jnp.float32))
+    proxy = an.iso_proxy(scene)
+    row = {"scene": os.path.basename(obj_path), "n_gaussians": scene.n,
+           "resolution": f"{res}x{res}", "tiles": list(tiles),
+           "scale_multipliers": list(scale_mul)}
+
+    cap = max(64, int(probe_capacity(proxy, ANGLES, -4.0, 1.0, tiles) * 1.3))
+    cfg = probe_buckets(proxy, ANGLES, -4.0, 1.0, tiles, margin=1.3)
+    row["capacity"] = cap
+    row["buckets"] = {"n_dense": cfg.n_dense, "cap_dense": cfg.cap_dense,
+                      "cap_sparse": cfg.cap_sparse}
+    _log(f"[{name}] {row}")
+
+    cam = orbit_camera(30.0, -4.0, 1.0, res, res)
+
+    def frame(angle, backend):
+        return an.render_tiled_aniso(
+            scene, orbit_camera(angle, -4.0, 1.0, res, res), tiles=tiles,
+            capacity=cap, backend=backend,
+            bucket_cfg=cfg if backend == "pallas" else None)
+
+    img, ovf = frame(30.0, "pallas")
+    assert int(ovf) == 0, f"{name}: forward overflow"
+    float(jnp.sum(img))
+    frames = 20
+    t0 = time.perf_counter()
+    for i in range(frames):
+        img, _ = frame(i * (360.0 / frames), "pallas")
+    float(jnp.sum(img))
+    dt = (time.perf_counter() - t0) / frames
+    row["forward_ms"] = round(dt * 1e3, 2)
+    row["forward_rays_per_s"] = round(res * res / dt, 1)
+    _log(f"[{name}] forward {row['forward_ms']} ms")
+
+    # pixel parity vs the XLA aniso formulation (same tiling)
+    img_p, _ = frame(30.0, "pallas")
+    img_x, ovf_x = frame(30.0, "xla")
+    assert int(ovf_x) == 0
+    a, b = np.asarray(img_p), np.asarray(img_x)
+    row["pixel_max_abs_diff"] = float(np.abs(a - b).max())
+    row["pixel_allclose"] = bool(np.abs(a - b).max() < 2e-3)
+
+    # gradient parity: fused-kernel VJP vs XLA autodiff (64x64 sub-frame)
+    gcam = orbit_camera(30.0, -4.0, 1.0, 64, 64)
+    go, gdirs = gcam.rays()
+    from sgrt_tpu.ops.anisotropic import render_rays_aniso_impl
+    from sgrt_tpu.ops.pallas_aniso import render_rays_pallas_aniso_impl
+
+    def loss_p(s):
+        return jnp.sum(render_rays_pallas_aniso_impl(go, gdirs, s) ** 2)
+
+    def loss_x(s):
+        return jnp.sum(render_rays_aniso_impl(go, gdirs, s) ** 2)
+
+    gp = jax.jit(jax.grad(loss_p))(scene)
+    gx = jax.jit(jax.grad(loss_x))(scene)
+    rel = {}
+    for fld in ("mu", "scale", "magnitude", "albedo"):
+        pa, xa = np.asarray(getattr(gp, fld)), np.asarray(getattr(gx, fld))
+        rel[fld] = float(np.abs(pa - xa).max() / max(np.abs(xa).max(), 1e-8))
+    row["grad_max_rel_diff"] = rel
+    # per-axis scale grads chain through invd = scale^-2 (an extra x^-3
+    # factor), amplifying f32 accumulation-order noise on stretched
+    # scenes — the looser bound mirrors tests/test_aniso.py's rtol
+    row["grad_allclose"] = bool(
+        all(v < (3e-3 if k == "scale" else 1e-3) for k, v in rel.items()))
+
+    # fwd+bwd aniso train step (bucketed, saved-T)
+    opt = optax.adam(1e-3)
+    target, _ = frame(35.0, "pallas")
+    step = make_aniso_frame_train_step(opt, width=res, height=res,
+                                       tiles=tiles, capacity=cap,
+                                       bucket_cfg=cfg)
+    state = init_state(scene, opt)
+    o, dirs = cam.rays()
+    state, loss, ovf_s = step(state, cam.view_matrix, o, dirs, target)
+    assert int(ovf_s) == 0, f"{name}: step overflow"
+    first_loss = float(loss)
+    steps = 10
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, loss, _ = step(state, cam.view_matrix, o, dirs, target)
+    last_loss = float(loss)
+    dt = (time.perf_counter() - t0) / steps
+    row["step_ms"] = round(dt * 1e3, 2)
+    row["step_rays_per_s"] = round(res * res / dt, 1)
+    row["loss_first"] = first_loss
+    row["loss_after_10"] = last_loss
+    assert last_loss < first_loss, f"{name}: loss did not decrease"
+    row["ok"] = bool(row["pixel_allclose"] and row["grad_allclose"])
+    return row
+
+
 def main():
     import jax
 
@@ -228,6 +340,10 @@ def main():
         report["config5_monkey_1024"] = certify(
             "config5", "/root/reference/test-objects/monkey.obj", 1024,
             (64, 32), use_mesh=True)
+    if only in (None, "aniso"):
+        report["config4_aniso_teapot_256"] = certify_aniso(
+            "aniso", "/root/reference/test-objects/teapot.obj", 256,
+            (32, 16))
     if "config3_teapot_512" in report and "config5_monkey_1024" in report:
         report["ok"] = bool(report["config3_teapot_512"]["ok"]
                             and report["config5_monkey_1024"]["ok"])

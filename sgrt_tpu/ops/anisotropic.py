@@ -253,12 +253,51 @@ def render_aniso(scene: AnisoScene, camera: Camera, origin=None,
 @functools.partial(jax.jit, static_argnames=("h", "w", "tiles", "capacity",
                                              "q_block", "tile_batch",
                                              "backend", "erf_name",
-                                             "exp_name"))
+                                             "exp_name", "bucket_cfg"))
 def _render_tiled_aniso_jit(scene, view, o, dirs, h, w, tiles, capacity,
                             q_block, tile_batch, backend,
-                            erf_name="exact", exp_name="exact"):
+                            erf_name="exact", exp_name="exact",
+                            bucket_cfg=None):
     from sgrt_tpu.ops.render import _tile_rays, _untile_image
     from sgrt_tpu.ops.tiling import as_grid, tile_indices
+
+    if backend == "pallas" and bucket_cfg is not None and bucket_cfg.n_dense:
+        # bucketed aniso forward: dense/sparse capacities from the
+        # iso_proxy counts, two fused-aniso launches, scatter reassembly —
+        # the aniso twin of scheduler.render_tiles_bucketed
+        import math
+
+        from sgrt_tpu.ops.pallas_aniso import render_tiles_pallas_aniso
+        from sgrt_tpu.ops.pallas_kernel import _block_sizes
+        from sgrt_tpu.ops.scheduler import (BucketConfig,
+                                            bucketed_tile_indices)
+
+        def rcap(c):
+            pb_, qb_ = _block_sizes(c)
+            al = math.lcm(pb_, qb_)
+            return max(al, -(-c // al) * al), pb_, qb_
+
+        cap_d, pb_d, qb_d = rcap(bucket_cfg.cap_dense)
+        cap_s, pb_s, qb_s = rcap(bucket_cfg.cap_sparse)
+        cfg = BucketConfig(bucket_cfg.n_dense, cap_d, cap_s)
+        dense_ids, idx_d, sparse_ids, idx_s, counts = bucketed_tile_indices(
+            iso_proxy(scene), view, tiles, cfg)
+        overflow = (jnp.sum(counts[sparse_ids] > cfg.cap_sparse)
+                    + jnp.sum(counts[dense_ids] > cfg.cap_dense)
+                    ).astype(jnp.int32)
+        d = _tile_rays(dirs, h, w, tiles)
+        cd = render_tiles_pallas_aniso(
+            gather_tiles_aniso(scene, idx_d), o, d[dense_ids],
+            counts[dense_ids], pb=pb_d, qb=qb_d, erf_name=erf_name,
+            exp_name=exp_name)
+        cs = render_tiles_pallas_aniso(
+            gather_tiles_aniso(scene, idx_s), o, d[sparse_ids],
+            counts[sparse_ids], pb=pb_s, qb=qb_s, erf_name=erf_name,
+            exp_name=exp_name)
+        t2 = d.shape[0]
+        colors = jnp.zeros((t2,) + cs.shape[1:], cs.dtype)
+        colors = colors.at[sparse_ids].set(cs).at[dense_ids].set(cd)
+        return _untile_image(colors, h, w, tiles), overflow
 
     idx, counts = tile_indices(iso_proxy(scene), view, tiles, capacity)
     tiled = gather_tiles_aniso(scene, idx)
@@ -294,12 +333,15 @@ def _render_tiled_aniso_jit(scene, view, o, dirs, h, w, tiles, capacity,
 def render_tiled_aniso(scene: AnisoScene, camera: Camera, origin=None,
                        tiles=16, capacity: int = 128, q_block: int = 128,
                        tile_batch: int = 16, backend: str = "xla",
-                       erf_name: str = "exact", exp_name: str = "exact"):
+                       erf_name: str = "exact", exp_name: str = "exact",
+                       bucket_cfg=None):
     """Tiled + culled anisotropic frame → ((H, W, 3), overflow). Culling
     uses the conservative max-scale footprint (iso_proxy);
     backend="pallas" routes through the fused anisotropic kernel
     (ops.pallas_aniso). erf_name/exp_name select the approximation on
-    either backend (ops.approx registries)."""
+    either backend (ops.approx registries). bucket_cfg
+    (ops.scheduler.BucketConfig, pallas only): dense/sparse capacity
+    bucketing exactly as the isotropic frame path."""
     from sgrt_tpu.ops.pallas_kernel import _block_sizes
     from sgrt_tpu.ops.tiling import as_grid
 
@@ -322,7 +364,7 @@ def render_tiled_aniso(scene: AnisoScene, camera: Camera, origin=None,
                                    h=h, w=w, tiles=tiles, capacity=capacity,
                                    q_block=qb, tile_batch=tile_batch,
                                    backend=backend, erf_name=erf_name,
-                                   exp_name=exp_name)
+                                   exp_name=exp_name, bucket_cfg=bucket_cfg)
 
 
 def gather_tiles_aniso(scene: AnisoScene, idx: jnp.ndarray) -> AnisoScene:

@@ -17,8 +17,10 @@ to (d oc, d invd, d mag, d albedo, d dirs) — the per-axis covariance
 gradient. The wrapper exposes invd = scale^-2 so the outer autodiff chains
 d scale = -2 scale^-3 * d invd for free.
 
-Backward schedule: recompute (pass A + gradient pass B); a saved-T variant
-is possible exactly as in the isotropic kernel and left for a later round.
+Backward schedules: recompute (pass A + gradient pass B) and SAVED-T
+(the differentiated forward materializes the 5 T_k factors; the backward
+skips pass A), auto-selected under the same padded-byte budget as the
+isotropic kernel — full schedule parity with ops.pallas_kernel.
 """
 
 from __future__ import annotations
@@ -241,6 +243,125 @@ def _aniso_epilogue(oc, invd, mag, d, mb_s, co_s, inv_s, sb_s,
     dalb_ref[0] += dalb_s[:]
 
 
+def _fused_fwd_t_aniso_kernel(counts_ref, oc_ref, invd_ref, mag_ref, alb_ref,
+                              dirs_ref, col_ref, t_ref,
+                              mb_s, co_s, inv_s, sb_s,
+                              *, pb: int, qb: int, erf, exp):
+    """Anisotropic forward that ALSO materializes the 5 transmittance
+    factors T_k to HBM — the aniso twin of pallas_kernel's saved-T
+    forward (closing the round-4 'deferred for a later round' gap)."""
+    count = counts_ref[pl.program_id(0)]
+    rb = dirs_ref.shape[2]
+    n = oc_ref.shape[1]
+    np_dyn = pl.cdiv(count, pb)
+    nq_dyn = pl.cdiv(count, qb)
+
+    _prep_scratch_aniso(oc_ref[0], invd_ref[0], mag_ref[0], dirs_ref[0],
+                        mb_s, co_s, inv_s, sb_s, exp)
+    base = _ones_row_sum(co_s[:] * erf(-mb_s[:] * inv_s[:]))     # (1, RB)
+    col_ref[0] = jnp.zeros((3, rb), jnp.float32)
+    t_ref[0] = jnp.zeros((len(K_TAPS), n, rb), jnp.float32)
+
+    def p_body(pi, _):
+        p0 = pl.multiple_of(pi * pb, pb)
+        mu_p = mb_s[pl.ds(p0, pb), :]
+        sb_p = sb_s[pl.ds(p0, pb), :]
+        co_p = co_s[pl.ds(p0, pb), :]
+        alb_p = alb_ref[0, pl.ds(p0, pb), :]
+
+        accs = _acc_pass_aniso(
+            lambda s, l: mb_s[pl.ds(s, l), :],
+            lambda s, l: co_s[pl.ds(s, l), :],
+            lambda s, l: inv_s[pl.ds(s, l), :],
+            mu_p, sb_p, nq_dyn, pb=pb, qb=qb, rb=rb, erf=erf)
+        T = tuple(w * exp(base - acc) for w, acc in zip(K_WEIGHTS, accs))
+        for ki, tk in enumerate(T):
+            t_ref[0, ki, pl.ds(p0, pb), :] = tk
+        tw = sum(T)
+        w_p = _SQRT_2_PI * co_p * tw
+        col_ref[0] += jax.lax.dot_general(
+            alb_p, w_p, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, np_dyn, p_body, 0)
+
+
+def _fused_bwd_t_aniso_kernel(counts_ref, oc_ref, invd_ref, mag_ref, alb_ref,
+                              dirs_ref, t_ref, dcol_ref,
+                              doc_ref, dinvd_ref, dmag_ref, dalb_ref,
+                              ddirs_ref,
+                              mb_s, co_s, inv_s, sb_s,
+                              dmb_s, dco_s, dsb_s, dinv_s, db_s, dalb_s,
+                              *, pb: int, qb: int, erf, exp, erf_and_gauss):
+    """Saved-T anisotropic backward: pass A (the O(N²) acc recompute)
+    replaced by reading the forward's T factors; only the gradient q-pass
+    remains. Mirrors pallas_kernel._fused_bwd_t_kernel."""
+    count = counts_ref[pl.program_id(0)]
+    n = oc_ref.shape[1]
+    rb = dirs_ref.shape[2]
+    np_dyn = pl.cdiv(count, pb)
+    nq_dyn = pl.cdiv(count, qb)
+
+    oc = oc_ref[0]
+    invd = invd_ref[0]
+    mag = mag_ref[0]
+    d = dirs_ref[0]
+    dcol = dcol_ref[0]                                           # (3, RB)
+
+    _prep_scratch_aniso(oc, invd, mag, d, mb_s, co_s, inv_s, sb_s, exp)
+    mb = mb_s[:]
+    co = co_s[:]
+    inv = inv_s[:]
+    e1, g1 = erf_and_gauss(-mb * inv)
+
+    dmb_s[:] = jnp.zeros(dmb_s.shape, jnp.float32)
+    dco_s[:] = jnp.zeros(dco_s.shape, jnp.float32)
+    dsb_s[:] = jnp.zeros(dsb_s.shape, jnp.float32)
+    dinv_s[:] = jnp.zeros(dinv_s.shape, jnp.float32)
+    db_s[:] = jnp.zeros(db_s.shape, jnp.float32)
+    dalb_s[:] = jnp.zeros(dalb_s.shape, jnp.float32)
+
+    def p_body(pi, _):
+        p0 = pl.multiple_of(pi * pb, pb)
+        mu_p = mb_s[pl.ds(p0, pb), :]
+        sb_p = sb_s[pl.ds(p0, pb), :]
+        co_p = co_s[pl.ds(p0, pb), :]
+        alb_p = alb_ref[0, pl.ds(p0, pb), :]
+        A_p = jnp.dot(alb_p, dcol, preferred_element_type=jnp.float32)
+        g_p = _SQRT_2_PI * co_p * A_p
+
+        T = tuple(t_ref[0, ki, pl.ds(p0, pb), :]
+                  for ki in range(len(K_TAPS)))
+        tw_p = sum(T)
+        db_s[:] += _ones_row_sum(g_p * tw_p)
+        G = tuple(g_p * t for t in T)
+
+        dco_s[pl.ds(p0, pb), :] += _SQRT_2_PI * tw_p * A_p
+        w_p = _SQRT_2_PI * co_p * tw_p
+        dalb_s[pl.ds(p0, pb), :] += jax.lax.dot_general(
+            w_p, dcol, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        dmu_p, dsb_p = _grad_pass_aniso(
+            lambda s, l: mb_s[pl.ds(s, l), :],
+            lambda s, l: co_s[pl.ds(s, l), :],
+            lambda s, l: inv_s[pl.ds(s, l), :],
+            dco_s, dmb_s, dinv_s, mu_p, sb_p, G, nq_dyn,
+            pb=pb, qb=qb, rb=rb, erf_and_gauss=erf_and_gauss)
+        dmb_s[pl.ds(p0, pb), :] += dmu_p
+        dsb_s[pl.ds(p0, pb), :] += dsb_p
+        return 0
+
+    jax.lax.fori_loop(0, np_dyn, p_body, 0)
+
+    _base_path_grads(db_s[:], e1, g1, mb, co, inv, dco_s, dmb_s, dinv_s)
+
+    _aniso_epilogue(oc, invd, mag, d, mb_s, co_s, inv_s, sb_s,
+                    dmb_s, dco_s, dsb_s, dinv_s, dalb_s,
+                    doc_ref, dinvd_ref, dmag_ref, dalb_ref, ddirs_ref, n)
+
+
 def _fused_bwd_aniso_kernel(counts_ref, oc_ref, invd_ref, mag_ref, alb_ref,
                             dirs_ref, dcol_ref,
                             doc_ref, dinvd_ref, dmag_ref, dalb_ref, ddirs_ref,
@@ -356,6 +477,104 @@ def _fused_fwd_aniso_call(oc, invd, mag, albedo, dirs_t, counts, *, rb, pb,
     )(counts, oc, invd, mag[:, :, None], albedo, dirs_t)
 
 
+def _fused_fwd_t_aniso_call(oc, invd, mag, albedo, dirs_t, counts, *, rb, pb,
+                            qb, erf_name, exp_name, interpret):
+    b, n, _ = oc.shape
+    r = dirs_t.shape[2]
+    nk = len(K_TAPS)
+    erf = ERF_IMPLS[erf_name]
+    exp = EXP_IMPLS[exp_name]
+    kernel = functools.partial(_fused_fwd_t_aniso_kernel, pb=pb, qb=qb,
+                               erf=erf, exp=exp)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, r // rb),
+        in_specs=[
+            pl.BlockSpec((1, n, 3), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, n, 3), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, n, 1), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, n, 3), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, 3, rb), lambda bb, i, c: (bb, 0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 3, rb), lambda bb, i, c: (bb, 0, i)),
+            pl.BlockSpec((1, nk, n, rb), lambda bb, i, c: (bb, 0, 0, i)),
+        ],
+        scratch_shapes=[pltpu.VMEM((n, rb), jnp.float32)] * 4,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 3, r), jnp.float32),
+            jax.ShapeDtypeStruct((b, nk, n, r), jnp.float32),
+        ],
+        compiler_params=_VMEM_LIMIT,
+        interpret=interpret,
+    )(counts, oc, invd, mag[:, :, None], albedo, dirs_t)
+
+
+def _fused_bwd_t_aniso_call(oc, invd, mag, albedo, dirs_t, counts, t_saved,
+                            dcol, *, rb, pb, qb, erf_name, exp_name,
+                            interpret):
+    b, n, _ = oc.shape
+    r = dirs_t.shape[2]
+    nk = len(K_TAPS)
+    erf = ERF_IMPLS[erf_name]
+    exp = EXP_IMPLS[exp_name]
+    eag = ERF_AND_GAUSS_IMPLS.get(erf_name, ERF_AND_GAUSS_IMPLS["as5"])
+    kernel = functools.partial(_fused_bwd_t_aniso_kernel, pb=pb, qb=qb,
+                               erf=erf, exp=exp, erf_and_gauss=eag)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, r // rb),
+        in_specs=[
+            pl.BlockSpec((1, n, 3), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, n, 3), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, n, 1), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, n, 3), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, 3, rb), lambda bb, i, c: (bb, 0, i)),
+            pl.BlockSpec((1, nk, n, rb), lambda bb, i, c: (bb, 0, 0, i)),
+            pl.BlockSpec((1, 3, rb), lambda bb, i, c: (bb, 0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n, 3), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, n, 3), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, n, 1), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, n, 3), lambda bb, i, c: (bb, 0, 0)),
+            pl.BlockSpec((1, 3, rb), lambda bb, i, c: (bb, 0, i)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, rb), jnp.float32),   # mb
+            pltpu.VMEM((n, rb), jnp.float32),   # co
+            pltpu.VMEM((n, rb), jnp.float32),   # inv (plane)
+            pltpu.VMEM((n, rb), jnp.float32),   # sigma_bar (plane)
+            pltpu.VMEM((n, rb), jnp.float32),   # dmb
+            pltpu.VMEM((n, rb), jnp.float32),   # dco
+            pltpu.VMEM((n, rb), jnp.float32),   # dsb
+            pltpu.VMEM((n, rb), jnp.float32),   # dinv
+            pltpu.VMEM((1, rb), jnp.float32),   # db
+            pltpu.VMEM((n, 3), jnp.float32),    # dalb
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, 3), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 3), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, 3), jnp.float32),
+            jax.ShapeDtypeStruct((b, 3, r), jnp.float32),
+        ],
+        compiler_params=_VMEM_LIMIT,
+        interpret=interpret,
+    )
+    doc, dinvd, dmag, dalb, ddirs = call(counts, oc, invd, mag[:, :, None],
+                                         albedo, dirs_t, t_saved, dcol)
+    return doc, dinvd, dmag[:, :, 0], dalb, ddirs
+
+
 def _fused_bwd_aniso_call(oc, invd, mag, albedo, dirs_t, counts, dcol, *,
                           rb, pb, qb, erf_name, exp_name, interpret):
     b, n, _ = oc.shape
@@ -415,10 +634,15 @@ def _fused_bwd_aniso_call(oc, invd, mag, albedo, dirs_t, counts, dcol, *,
 
 
 @functools.lru_cache(maxsize=64)
-def _make_fused_aniso_op(rb, pb, qb, rb_bwd, erf_name, exp_name, interpret):
+def _make_fused_aniso_op(rb, pb, qb, rb_bwd, erf_name, exp_name, interpret,
+                         save_t=False):
     """Fully-fused anisotropic custom-VJP op:
     op(oc (B,N,3), invd (B,N,3) = scale^-2, mag (B,N), albedo (B,N,3),
-       dirs_t (B,3,R), counts (B,)) -> colors (B,3,R)."""
+       dirs_t (B,3,R), counts (B,)) -> colors (B,3,R).
+
+    save_t: the differentiated forward materializes the 5 T_k factors to
+    HBM and the backward skips the O(N²) acc recompute — the same
+    auto-selected schedule pair as the isotropic kernel."""
 
     @jax.custom_vjp
     def fused_op(oc, invd, mag, albedo, dirs_t, counts):
@@ -426,17 +650,35 @@ def _make_fused_aniso_op(rb, pb, qb, rb_bwd, erf_name, exp_name, interpret):
                                      rb=rb, pb=pb, qb=qb, erf_name=erf_name,
                                      exp_name=exp_name, interpret=interpret)
 
-    def fwd(oc, invd, mag, albedo, dirs_t, counts):
-        return fused_op(oc, invd, mag, albedo, dirs_t, counts), (
-            oc, invd, mag, albedo, dirs_t, counts)
+    if save_t:
+        def fwd(oc, invd, mag, albedo, dirs_t, counts):
+            colors, t_saved = _fused_fwd_t_aniso_call(
+                oc, invd, mag, albedo, dirs_t, counts, rb=rb_bwd, pb=pb,
+                qb=qb, erf_name=erf_name, exp_name=exp_name,
+                interpret=interpret)
+            return colors, (oc, invd, mag, albedo, dirs_t, counts, t_saved)
 
-    def bwd(res, g):
-        oc, invd, mag, albedo, dirs_t, counts = res
-        doc, dinvd, dmag, dalb, ddirs = _fused_bwd_aniso_call(
-            oc, invd, mag, albedo, dirs_t, counts, g, rb=rb_bwd, pb=pb,
-            qb=qb, erf_name=erf_name, exp_name=exp_name, interpret=interpret)
-        dcounts = np.zeros(counts.shape, jax.dtypes.float0)
-        return doc, dinvd, dmag, dalb, ddirs, dcounts
+        def bwd(res, g):
+            oc, invd, mag, albedo, dirs_t, counts, t_saved = res
+            doc, dinvd, dmag, dalb, ddirs = _fused_bwd_t_aniso_call(
+                oc, invd, mag, albedo, dirs_t, counts, t_saved, g,
+                rb=rb_bwd, pb=pb, qb=qb, erf_name=erf_name,
+                exp_name=exp_name, interpret=interpret)
+            dcounts = np.zeros(counts.shape, jax.dtypes.float0)
+            return doc, dinvd, dmag, dalb, ddirs, dcounts
+    else:
+        def fwd(oc, invd, mag, albedo, dirs_t, counts):
+            return fused_op(oc, invd, mag, albedo, dirs_t, counts), (
+                oc, invd, mag, albedo, dirs_t, counts)
+
+        def bwd(res, g):
+            oc, invd, mag, albedo, dirs_t, counts = res
+            doc, dinvd, dmag, dalb, ddirs = _fused_bwd_aniso_call(
+                oc, invd, mag, albedo, dirs_t, counts, g, rb=rb_bwd, pb=pb,
+                qb=qb, erf_name=erf_name, exp_name=exp_name,
+                interpret=interpret)
+            dcounts = np.zeros(counts.shape, jax.dtypes.float0)
+            return doc, dinvd, dmag, dalb, ddirs, dcounts
 
     fused_op.defvjp(fwd, bwd)
     return fused_op
@@ -445,11 +687,15 @@ def _make_fused_aniso_op(rb, pb, qb, rb_bwd, erf_name, exp_name, interpret):
 def render_fused_aniso(scene_oc, invd, mag, albedo, dirs_t, counts=None, *,
                        rb: int = 128, pb: int = 8, qb: int = 32,
                        rb_bwd: int | None = None, erf_name: str = "as5",
-                       exp_name: str = "exact",
+                       exp_name: str = "exact", save_t: bool | None = None,
                        interpret: bool | None = None):
     """Batched fused anisotropic render: oc (B,N,3), invd (B,N,3) =
     scale^-2, mag (B,N), albedo (B,N,3), dirs_t (B,3,R) → colors (B,3,R).
-    Differentiable (analytic in-kernel VJP incl. d invd and d dirs)."""
+    Differentiable (analytic in-kernel VJP incl. d invd and d dirs).
+    save_t=None auto-selects the saved-T backward under the same padded-
+    byte budget as the isotropic kernel (pallas_kernel.SAVE_T_MAX_BYTES)."""
+    from sgrt_tpu.ops.pallas_kernel import SAVE_T_MAX_BYTES
+
     erf_name = _kernel_erf_name(erf_name)
     if interpret is None:
         interpret = _auto_interpret()
@@ -465,8 +711,11 @@ def render_fused_aniso(scene_oc, invd, mag, albedo, dirs_t, counts=None, *,
     if counts is None:
         counts = jnp.full((b,), n, jnp.int32)
     counts = jnp.minimum(counts.astype(jnp.int32), n)
+    if save_t is None:
+        r_pad = -(-r // 128) * 128   # trailing dim lane-pads (see iso auto)
+        save_t = 4 * len(K_TAPS) * b * n * r_pad <= SAVE_T_MAX_BYTES
     op = _make_fused_aniso_op(rb, pb, qb, rb_bwd, erf_name, exp_name,
-                              interpret)
+                              interpret, save_t)
     return op(scene_oc, invd, mag, albedo, dirs_t, counts)
 
 
@@ -475,6 +724,7 @@ def render_tiles_pallas_aniso(tiled: AnisoScene, o, tile_dirs, counts=None,
                               qb: int | None = None,
                               rb_bwd: int | None = None,
                               erf_name: str = "as5", exp_name: str = "exact",
+                              save_t: bool | None = None,
                               interpret: bool | None = None):
     """Per-tile anisotropic render: tiled scene leaves (T2, K, ...),
     tile_dirs (T2, P, 3) → colors (T2, P, 3). The anisotropic twin of
@@ -490,7 +740,7 @@ def render_tiles_pallas_aniso(tiled: AnisoScene, o, tile_dirs, counts=None,
     colors_t = render_fused_aniso(
         oc, invd, tiled.magnitude, tiled.albedo, dirs_tr, counts,
         rb=rb, pb=pb, qb=qb, rb_bwd=rb_bwd, erf_name=erf_name,
-        exp_name=exp_name, interpret=interpret)
+        exp_name=exp_name, save_t=save_t, interpret=interpret)
     return jnp.transpose(colors_t, (0, 2, 1))
 
 

@@ -38,6 +38,13 @@ class FitState(NamedTuple):
     step: jnp.ndarray
 
 
+
+def _apply_updates(optimizer, grads, opt_state, scene):
+    """Optimizer update under a named trace scope (docs/TRACE.md)."""
+    with jax.named_scope("optimizer"):
+        updates, opt_state = optimizer.update(grads, opt_state, scene)
+        return optax.apply_updates(scene, updates), opt_state
+
 def l2_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean((pred - target) ** 2)
 
@@ -102,8 +109,8 @@ def make_train_step(
     @jax.jit
     def train_step(state: FitState, o, dirs, target):
         loss, grads = vg(state.scene, o, dirs, target)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.scene)
-        scene = optax.apply_updates(state.scene, updates)
+        scene, opt_state = _apply_updates(optimizer, grads,
+                                          state.opt_state, state.scene)
         return FitState(scene, opt_state, state.step + 1), loss
 
     return train_step
@@ -374,9 +381,8 @@ def _make_sharded_bucketed_step(
             state.scene, idx_d, counts[dense_ids], d[dense_ids],
             target_t[dense_ids], idx_s, counts[sparse_ids], d[sparse_ids],
             target_t[sparse_ids], o)
-        updates, opt_state = optimizer.update(grads, state.opt_state,
-                                              state.scene)
-        scene = optax.apply_updates(state.scene, updates)
+        scene, opt_state = _apply_updates(optimizer, grads,
+                                          state.opt_state, state.scene)
         return FitState(scene, opt_state, state.step + 1), loss, overflow
 
     return step
@@ -463,9 +469,8 @@ def make_frame_train_step(
         def step(state: FitState, view, o, dirs, target):
             (loss, overflow), grads = frame_vg(state.scene, view, o, dirs,
                                                target)
-            updates, opt_state = optimizer.update(grads, state.opt_state,
-                                                  state.scene)
-            scene = optax.apply_updates(state.scene, updates)
+            scene, opt_state = _apply_updates(optimizer, grads,
+                                              state.opt_state, state.scene)
             return FitState(scene, opt_state, state.step + 1), loss, overflow
 
         return step
@@ -528,8 +533,8 @@ def make_frame_train_step(
         d = _tile_rays(dirs, height, width, tiles)
         target_t = _tile_rays(target.reshape(-1, 3), height, width, tiles)
         loss, grads = sharded_vg(state.scene, idx, counts, o, d, target_t)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.scene)
-        scene = optax.apply_updates(state.scene, updates)
+        scene, opt_state = _apply_updates(optimizer, grads,
+                                          state.opt_state, state.scene)
         return FitState(scene, opt_state, state.step + 1), loss, overflow
 
     return step
@@ -639,9 +644,8 @@ def make_slab_frame_train_step(
         loss = sq_sum / (height * width * 3)
         grads = jax.tree_util.tree_map(
             lambda gr: gr / (height * width * 3), grads)
-        updates, opt_state = optimizer.update(grads, state.opt_state,
-                                              state.scene)
-        scene = optax.apply_updates(state.scene, updates)
+        scene, opt_state = _apply_updates(optimizer, grads,
+                                          state.opt_state, state.scene)
         return FitState(scene, opt_state, state.step + 1), loss
 
     def step(state: FitState, view, o, dirs, target):
@@ -671,6 +675,7 @@ def make_aniso_frame_train_step(
     erf_name: str = "as5",
     exp_name: str = "exact",
     trainable: tuple[str, ...] = ("mu", "scale", "magnitude", "albedo"),
+    bucket_cfg=None,
     focal_length=1.0,
 ):
     """Tiled whole-frame train step for ANISOTROPIC scenes — the
@@ -678,9 +683,15 @@ def make_aniso_frame_train_step(
     re-tiling on the conservative max-scale footprint
     (anisotropic.iso_proxy), packed 10-column gather, fused anisotropic
     kernel fwd + analytic-VJP bwd (ops.pallas_aniso — gradients include
-    the per-axis scales), optimizer update. With a mesh, tiles are the
-    sharded axis and gradients are pmean'd over ICI, exactly as the
-    isotropic step.
+    the per-axis scales; saved-T backward auto-selected), optimizer
+    update. With a mesh, tiles are the sharded axis and gradients are
+    pmean'd over ICI, exactly as the isotropic step.
+
+    bucket_cfg (ops.scheduler.BucketConfig): dense/sparse capacity
+    bucketing of tiles, exactly as the isotropic step — bucket membership
+    comes from the iso_proxy counts. With a mesh, both bucket tile axes
+    shard with the round-robin interleave; bucket sizes must divide the
+    mesh.
 
     Returns step(state, view, o, dirs, target) → (state, loss, overflow);
     state is a FitState whose .scene is an anisotropic.AnisoScene.
@@ -694,21 +705,32 @@ def make_aniso_frame_train_step(
     from sgrt_tpu.ops.render import _tile_rays
     from sgrt_tpu.ops.tiling import as_grid, tile_indices
 
-    pb, qb = _block_sizes(capacity)
-    align = math.lcm(pb, qb)
-    capacity = max(align, -(-capacity // align) * align)
+    if bucket_cfg is not None and not bucket_cfg.n_dense:
+        # adaptive probe chose single-launch: honor its capacity
+        capacity = max(capacity, bucket_cfg.cap_dense)
+        bucket_cfg = None
+
+    def _round_cap(cap):
+        pb_, qb_ = _block_sizes(cap)
+        align = math.lcm(pb_, qb_)
+        return max(align, -(-cap // align) * align), pb_, qb_
+
+    capacity, pb, qb = _round_cap(capacity)
+    worst = capacity if bucket_cfg is None else max(capacity,
+                                                    bucket_cfg.cap_dense)
     # the aniso backward holds 8 full (N, RB) planes vs the isotropic 6 —
     # its own, smaller ceiling (pallas_aniso.MAX_BWD_CAPACITY_ANISO)
-    if capacity > MAX_BWD_CAPACITY_ANISO:
+    if worst > MAX_BWD_CAPACITY_ANISO:
         raise ValueError(
-            f"per-tile capacity {capacity} exceeds the anisotropic backward "
+            f"per-tile capacity {worst} exceeds the anisotropic backward "
             f"kernel's VMEM ceiling ({MAX_BWD_CAPACITY_ANISO}); use a finer "
             "tile grid so fewer Gaussians land in each tile")
     tx_, ty_ = as_grid(tiles)
     t2 = tx_ * ty_
-    if mesh is not None and t2 % mesh.devices.size:
+    n_dev = 1 if mesh is None else mesh.devices.size
+    if mesh is not None and t2 % n_dev:
         raise ValueError(f"tile count {t2} not divisible by the mesh "
-                         f"({mesh.devices.size} devices)")
+                         f"({n_dev} devices)")
 
     def masked_scene(scene):
         fields = {
@@ -717,6 +739,67 @@ def make_aniso_frame_train_step(
             for f in ("mu", "scale", "magnitude", "albedo")
         }
         return type(scene)(**fields)
+
+    if bucket_cfg is not None:
+        from sgrt_tpu.ops.scheduler import BucketConfig, bucketed_tile_indices
+
+        cap_d, pb_d, qb_d = _round_cap(bucket_cfg.cap_dense)
+        cap_s, pb_s, qb_s = _round_cap(bucket_cfg.cap_sparse)
+        cfg = BucketConfig(bucket_cfg.n_dense, cap_d, cap_s)
+        if cfg.n_dense % n_dev or (t2 - cfg.n_dense) % n_dev:
+            raise ValueError(
+                f"bucket sizes ({cfg.n_dense}, {t2 - cfg.n_dense}) must "
+                f"divide the mesh ({n_dev} devices)")
+
+        def local_vg(scene, idx_d, cnt_d, d_d, tgt_d, idx_s, cnt_s, d_s,
+                     tgt_s, o):
+            def f(s):
+                ms = masked_scene(s)
+                cd = render_tiles_pallas_aniso(
+                    gather_tiles_aniso(ms, idx_d), o, d_d, cnt_d, pb=pb_d,
+                    qb=qb_d, erf_name=erf_name, exp_name=exp_name)
+                cs = render_tiles_pallas_aniso(
+                    gather_tiles_aniso(ms, idx_s), o, d_s, cnt_s, pb=pb_s,
+                    qb=qb_s, erf_name=erf_name, exp_name=exp_name)
+                return ((jnp.sum((cd - tgt_d) ** 2)
+                         + jnp.sum((cs - tgt_s) ** 2))
+                        / (cd.size + cs.size))
+
+            return jax.value_and_grad(f)(scene)
+
+        if mesh is not None:
+            @functools.partial(
+                jax.shard_map, mesh=mesh,
+                in_specs=(P(),) + (P(RAYS_AXIS),) * 8 + (P(),),
+                out_specs=(P(), P()), check_vma=False,
+            )
+            def vg(scene, *args):
+                loss, grads = local_vg(scene, *args)
+                return (jax.lax.pmean(loss, RAYS_AXIS),
+                        jax.lax.pmean(grads, RAYS_AXIS))
+        else:
+            vg = local_vg
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state: FitState, view, o, dirs, target):
+            dense_ids, idx_d, sparse_ids, idx_s, counts = \
+                bucketed_tile_indices(iso_proxy(state.scene), view, tiles,
+                                      cfg, focal_length=focal_length,
+                                      interleave=n_dev)
+            overflow = (jnp.sum(counts[sparse_ids] > cfg.cap_sparse)
+                        + jnp.sum(counts[dense_ids] > cfg.cap_dense)
+                        ).astype(jnp.int32)
+            d = _tile_rays(dirs, height, width, tiles)
+            tgt = _tile_rays(target.reshape(-1, 3), height, width, tiles)
+            loss, grads = vg(state.scene, idx_d, counts[dense_ids],
+                             d[dense_ids], tgt[dense_ids], idx_s,
+                             counts[sparse_ids], d[sparse_ids],
+                             tgt[sparse_ids], o)
+            scene, opt_state = _apply_updates(optimizer, grads,
+                                              state.opt_state, state.scene)
+            return FitState(scene, opt_state, state.step + 1), loss, overflow
+
+        return step
 
     def local_vg(scene, idx, counts, o, d, target_t):
         def f(s):
@@ -753,9 +836,8 @@ def make_aniso_frame_train_step(
         d = _tile_rays(dirs, height, width, tiles)
         target_t = _tile_rays(target.reshape(-1, 3), height, width, tiles)
         loss, grads = vg(state.scene, idx, counts, o, d, target_t)
-        updates, opt_state = optimizer.update(grads, state.opt_state,
-                                              state.scene)
-        scene = optax.apply_updates(state.scene, updates)
+        scene, opt_state = _apply_updates(optimizer, grads,
+                                          state.opt_state, state.scene)
         return FitState(scene, opt_state, state.step + 1), loss, overflow
 
     return step

@@ -53,6 +53,10 @@ fieldset { border: 1px solid #444; margin-top: 1em; }
   <input type="range" id="sigma" min="0.2" max="3" step="0.05" value="1"></div>
 <div class="row"><label>magnitude scale</label>
   <input type="range" id="mag" min="0.1" max="4" step="0.05" value="1"></div>
+<div class="row"><label>aniso scale x/y/z</label>
+  <input type="range" id="sx" min="0.2" max="3" step="0.05" value="1">
+  <input type="range" id="sy" min="0.2" max="3" step="0.05" value="1">
+  <input type="range" id="sz" min="0.2" max="3" step="0.05" value="1"></div>
 <div class="row"><label>tiled (modes 5-8)</label>
   <input type="checkbox" id="tiled" checked></div>
 <div class="row"><label>erf</label>
@@ -81,7 +85,8 @@ fieldset { border: 1px solid #444; margin-top: 1em; }
 <div class="row" id="stats">-</div>
 <img id="view" width="512" height="512">
 <script>
-const ids = ['angle','offset','focal','sigma','mag','tiled','erf','exp'];
+const ids = ['angle','offset','focal','sigma','mag','sx','sy','sz',
+             'tiled','erf','exp'];
 let busy = false, dirty = false;
 async function refresh() {
   if (busy) { dirty = true; return; }
@@ -262,18 +267,52 @@ def make_handler(scene, width, height, tiles, capacity):
                     sigma=edited.sigma * float(q.get("sigma", 1)),
                     magnitude=edited.magnitude * float(q.get("mag", 1)),
                 )
+                sxyz = tuple(float(q.get(k, 1)) for k in ("sx", "sy", "sz"))
                 t0 = time.perf_counter()
-                img, overflow = render_orbit_frame(
-                    edited,
-                    float(q.get("angle", 30)),
-                    float(q.get("offset", -4)),
-                    float(q.get("focal", 1)),
-                    width=width, height=height, tiles=tiles,
-                    capacity=capacity,
-                    use_tiling=q.get("tiled", "1") == "1",
-                    backend="pallas", erf_name=q.get("erf", "as5"),
-                    exp_name=q.get("exp", "exact"),
-                )
+                if sxyz != (1.0, 1.0, 1.0):
+                    # per-axis scale sliders → ANISOTROPIC render (the
+                    # diagonal-covariance production surface; the capacity
+                    # margin covers the max-scale proxy up to the slider
+                    # ranges)
+                    import jax.numpy as jnp
+
+                    from sgrt_tpu.models.camera import Camera  # noqa: F401
+                    from sgrt_tpu.ops import anisotropic as an
+                    from sgrt_tpu.ops.frame import orbit_camera
+
+                    ascene = an.from_isotropic(edited)
+                    ascene = ascene.replace(
+                        scale=ascene.scale * jnp.asarray([sxyz], jnp.float32))
+                    cam = orbit_camera(
+                        float(q.get("angle", 30)), float(q.get("offset", -4)),
+                        float(q.get("focal", 1)), width, height)
+                    if q.get("tiled", "1") == "1":
+                        img, overflow = an.render_tiled_aniso(
+                            ascene, cam, tiles=tiles, capacity=capacity,
+                            backend="pallas", erf_name=q.get("erf", "as5"),
+                            exp_name=q.get("exp", "exact"))
+                    else:
+                        from sgrt_tpu.ops.pallas_aniso import (
+                            render_rays_pallas_aniso_impl)
+
+                        o, dirs = cam.rays()
+                        img = render_rays_pallas_aniso_impl(
+                            o, dirs, ascene, erf_name=q.get("erf", "as5"),
+                            exp_name=q.get("exp", "exact"),
+                        ).reshape(height, width, 3)
+                        overflow = 0
+                else:
+                    img, overflow = render_orbit_frame(
+                        edited,
+                        float(q.get("angle", 30)),
+                        float(q.get("offset", -4)),
+                        float(q.get("focal", 1)),
+                        width=width, height=height, tiles=tiles,
+                        capacity=capacity,
+                        use_tiling=q.get("tiled", "1") == "1",
+                        backend="pallas", erf_name=q.get("erf", "as5"),
+                        exp_name=q.get("exp", "exact"),
+                    )
                 img_np = np.asarray(img)  # device sync
                 ms = (time.perf_counter() - t0) * 1e3
                 png = encode_png(to_rgba_u8(img_np))

@@ -284,3 +284,73 @@ def test_tiled_aniso_threads_approximations():
     assert int(ovf) == 0
     diff = float(np.abs(np.asarray(exact) - np.asarray(approx)).max())
     assert 0.0 < diff < 0.05   # changed, but within the approx error band
+
+
+def test_aniso_saved_t_matches_recompute():
+    """The saved-T aniso backward must match the recompute schedule to
+    f32 rounding of the stored T (same contract as the isotropic and
+    chunked kernels)."""
+    from sgrt_tpu.ops.pallas_aniso import render_rays_pallas_aniso_impl
+
+    o, dirs = CAM.rays()
+
+    def grads(save_t):
+        def f(s):
+            from sgrt_tpu.ops.pallas_aniso import render_fused_aniso
+            from sgrt_tpu.ops.anisotropic import pad_scene_aniso
+
+            sp = pad_scene_aniso(s, 32)
+            oc = sp.mu - o[None, :]
+            invd = 1.0 / (sp.scale * sp.scale)
+            r = dirs.shape[0]
+            pad = (-r) % 128
+            unit = jnp.zeros((pad, 3), dirs.dtype).at[:, 2].set(1.0)
+            dp = jnp.concatenate([dirs, unit]) if pad else dirs
+            counts = jnp.full((1,), s.n, jnp.int32)
+            out = render_fused_aniso(
+                oc[None], invd[None], sp.magnitude[None], sp.albedo[None],
+                dp.T[None], counts, pb=8, qb=16, save_t=save_t,
+                interpret=True)[0].T[:r]
+            return jnp.sum(out ** 2)
+
+        return jax.grad(f)(SCENE)
+
+    g_re = grads(False)
+    g_st = grads(True)
+    for fld in ("mu", "scale", "magnitude", "albedo"):
+        a = np.asarray(getattr(g_st, fld))
+        b = np.asarray(getattr(g_re, fld))
+        scale = max(np.abs(b).max(), 1e-8)
+        # T stored to f32: one rounding per factor; aniso T spans wider
+        # ranges than the isotropic case (per-ray sigma_bar)
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-4,
+                                   err_msg=fld)
+
+
+def test_aniso_bucketed_step_matches_single():
+    """Bucketed aniso train step vs the single-capacity step: same loss
+    and same updated scene (SGD, one step)."""
+    import optax
+
+    from sgrt_tpu.ops.frame import orbit_camera
+    from sgrt_tpu.ops.scheduler import BucketConfig
+    from sgrt_tpu.parallel.fit import init_state, make_aniso_frame_train_step
+
+    cam = orbit_camera(0.0, -2.5, 1.0, 32, 32)
+    o, dirs = cam.rays()
+    target = jnp.zeros((32, 32, 3))
+    opt = optax.sgd(1e-2)
+    common = dict(width=32, height=32, tiles=4, capacity=16)
+    s_ref = make_aniso_frame_train_step(opt, **common)
+    s_bkt = make_aniso_frame_train_step(opt, bucket_cfg=BucketConfig(4, 16, 8),
+                                        **common)
+    st1 = init_state(SCENE, opt)
+    st2 = init_state(SCENE, opt)
+    st1, l1, o1 = s_ref(st1, cam.view_matrix, o, dirs, target)
+    st2, l2, o2 = s_bkt(st2, cam.view_matrix, o, dirs, target)
+    assert int(o1) == 0 and int(o2) == 0
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for fld in ("mu", "scale", "magnitude", "albedo"):
+        np.testing.assert_allclose(np.asarray(getattr(st2.scene, fld)),
+                                   np.asarray(getattr(st1.scene, fld)),
+                                   rtol=1e-5, atol=1e-7, err_msg=fld)

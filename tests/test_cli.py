@@ -85,3 +85,26 @@ def test_fit_cli_roundtrip(tmp_path, capsys):
     assert m, outp
     assert float(m.group(2)) < float(m.group(1))
     assert out.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_fit_cli_aniso_roundtrip(tmp_path, capsys):
+    """fit_cli --aniso end-to-end: perturb means AND per-axis scales of a
+    stretched grid scene, run a few aniso train steps, verify BOTH the mu
+    and the scale error shrink (BASELINE config-4 'covariances' exercised
+    from the CLI) and the final PNG is written."""
+    from sgrt_tpu.fit_cli import main as fit_main
+
+    out = tmp_path / "fitted_aniso.png"
+    rc = fit_main(["-g", "2", "-w", "16", "--height", "16", "--tiles", "2",
+                   "--steps", "40", "--views", "2", "--noise", "0.02",
+                   "--lr", "1e-2", "--aniso", "1.5,0.7,1.0",
+                   "--out", str(out)])
+    assert rc in (0, None)
+    outp = capsys.readouterr().out
+    m = re.search(r"max \|mu error\|: ([\d.]+) -> ([\d.]+)", outp)
+    assert m, outp
+    assert float(m.group(2)) < float(m.group(1))
+    s = re.search(r"max \|scale error\|: ([\d.]+) -> ([\d.]+)", outp)
+    assert s, outp
+    assert float(s.group(2)) < float(s.group(1))
+    assert out.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"

@@ -93,3 +93,22 @@ def test_edit_rejects_bad_index(server):
     with pytest.raises(urllib.error.HTTPError) as exc:
         _get(server + "/edit?index=99")
     assert exc.value.code == 400
+
+
+def test_render_aniso_sliders(server):
+    """Per-axis scale sliders (sx/sy/sz) route through the anisotropic
+    kernel and change the image vs the isotropic render."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    def fetch(extra=""):
+        status, _, body = _get(server + "/render?angle=30&tiled=1" + extra)
+        assert status == 200
+        return np.asarray(Image.open(io.BytesIO(body)), np.float32)
+
+    iso = fetch()
+    ani = fetch("&sx=2.0&sy=0.5&sz=1.0")
+    assert iso.shape == ani.shape
+    assert float(np.abs(iso - ani).max()) > 2.0   # visibly different
