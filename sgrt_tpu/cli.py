@@ -120,19 +120,25 @@ def main(argv=None) -> int:
         scene = an.iso_proxy(aniso_scene)
 
     capacity = args.capacity
+    bucket_cfg = None
     if use_tiling and capacity is None:
         # Fixed capacity across the whole orbit (one device call) so every
         # frame reuses one compiled executable.
-        probe = int(
-            probe_capacity(
-                scene,
-                [args.initial_rotation + d for d in (0.0, 30.0, 45.0, 60.0, 90.0)],
-                args.camera_offset,
-                args.focal_length,
-                args.tiles,
-            )
-        )
+        probe_angles = [args.initial_rotation + d
+                        for d in (0.0, 30.0, 45.0, 60.0, 90.0)]
+        probe = int(probe_capacity(scene, probe_angles, args.camera_offset,
+                                   args.focal_length, args.tiles))
         capacity = max(32, int(probe * 1.25))
+        if args.backend == "pallas" and aniso_scene is not None:
+            # bucketed aniso forward (probed on the max-scale proxy) —
+            # measured 3.6x the single-capacity launch on the stretched
+            # teapot (docs/BASELINE_CONFIGS.json config4)
+            from sgrt_tpu.ops.frame import probe_buckets
+
+            bucket_cfg = probe_buckets(scene, probe_angles,
+                                       args.camera_offset,
+                                       args.focal_length, args.tiles,
+                                       margin=1.25)
 
     angle_change = args.rotation / args.frames
     total_time = 0.0
@@ -150,7 +156,8 @@ def main(argv=None) -> int:
                 img, overflow = an.render_tiled_aniso(
                     aniso_scene, cam, tiles=args.tiles,
                     capacity=capacity or 1, backend=args.backend,
-                    erf_name=args.erf, exp_name=args.exp)
+                    erf_name=args.erf, exp_name=args.exp,
+                    bucket_cfg=bucket_cfg)
             else:
                 import jax.numpy as jnp
 

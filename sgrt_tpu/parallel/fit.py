@@ -548,6 +548,7 @@ def make_slab_frame_train_step(
     tiles=(64, 32),
     capacity: int = 4096,
     slab_tiles: int = 64,
+    mesh: Mesh | None = None,
     erf_name: str = "as5",
     exp_name: str = "exact",
     trainable: tuple[str, ...] = ("mu", "sigma", "magnitude", "albedo"),
@@ -573,6 +574,11 @@ def make_slab_frame_train_step(
     above pallas_kernel.MAX_BWD_CAPACITY route to the chunked kernel
     exactly as make_frame_train_step.
 
+    With a mesh, each slab's tile axis is sharded over the devices (the
+    slab is a count-sorted contiguous range, so the per-device shards
+    within it carry near-equal counts) and per-slab gradients psum over
+    ICI; slab_tiles must divide by the mesh size.
+
     Returns step(state, view, o, dirs, target) → (state, loss, overflow).
     Dispatches n_slabs + 2 device programs per step with no host syncs in
     between (device execution pipelines behind the dispatch loop).
@@ -592,9 +598,13 @@ def make_slab_frame_train_step(
         capacity = -(-capacity // qb) * qb
     tx_, ty_ = as_grid(tiles)
     t2 = tx_ * ty_
-    slab_tiles = min(slab_tiles, t2)
-    while t2 % slab_tiles:      # largest divisor of the tile count
-        slab_tiles -= 1
+    n_dev = 1 if mesh is None else mesh.devices.size
+    if t2 % n_dev:
+        raise ValueError(f"tile count {t2} not divisible by the mesh "
+                         f"({n_dev} devices)")
+    slab_tiles = max(n_dev, min(slab_tiles, t2))
+    while t2 % slab_tiles or slab_tiles % n_dev:
+        slab_tiles -= 1      # largest divisor of t2 that the mesh divides
     n_slabs = t2 // slab_tiles
 
     def masked_scene(scene):
@@ -615,8 +625,7 @@ def make_slab_frame_train_step(
         overflow = jnp.sum(counts > capacity).astype(jnp.int32)
         return (idx[order], counts[order], d[order], tgt[order], overflow)
 
-    @jax.jit
-    def _slab_vg(scene, idx_s, cnt_s, d_s, tgt_s, o):
+    def _local_vg(scene, idx_s, cnt_s, d_s, tgt_s, o):
         def f(s):
             tiled = gather_tiles(masked_scene(s), idx_s)
             if use_chunked:
@@ -635,6 +644,26 @@ def make_slab_frame_train_step(
 
         return jax.value_and_grad(f)(scene)
 
+    if mesh is not None:
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(RAYS_AXIS), P(RAYS_AXIS), P(RAYS_AXIS),
+                      P(RAYS_AXIS), P()),
+            out_specs=(P(), P()),
+            check_vma=False,   # pallas outputs carry no mesh-axis metadata
+        )
+        def _sharded_vg(scene, idx_s, cnt_s, d_s, tgt_s, o):
+            loss, grads = _local_vg(scene, idx_s, cnt_s, d_s, tgt_s, o)
+            # per-slab SUMS (not means): gradient accumulation across
+            # slabs stays exact under the psum
+            return (jax.lax.psum(loss, RAYS_AXIS),
+                    jax.lax.psum(grads, RAYS_AXIS))
+
+        _slab_vg = jax.jit(_sharded_vg)
+    else:
+        _slab_vg = jax.jit(_local_vg)
+
     @jax.jit
     def _accum(tot, grads, l, g):
         return tot + l, jax.tree_util.tree_map(jnp.add, grads, g)
@@ -651,9 +680,14 @@ def make_slab_frame_train_step(
     def step(state: FitState, view, o, dirs, target):
         idx, counts, d, tgt, overflow = _prep(state.scene, view, dirs,
                                               target)
-        tot = jnp.zeros((), jnp.float32)
-        grads = jax.tree_util.tree_map(jnp.zeros_like, state.scene)
-        for s in range(n_slabs):
+        # seed the accumulators from slab 0's result so they carry ITS
+        # sharding from the start — mixing fresh single-device zeros with
+        # mesh-replicated outputs would flip shardings (and silently
+        # recompile _accum) between calls 1 and 2
+        tot, grads = _slab_vg(state.scene, idx[:slab_tiles],
+                              counts[:slab_tiles], d[:slab_tiles],
+                              tgt[:slab_tiles], o)
+        for s in range(1, n_slabs):
             sl = slice(s * slab_tiles, (s + 1) * slab_tiles)
             l, g = _slab_vg(state.scene, idx[sl], counts[sl], d[sl],
                             tgt[sl], o)

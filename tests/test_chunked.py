@@ -206,3 +206,35 @@ def test_chunked_saved_t_matches_recompute(setup):
         scale = max(np.abs(b).max(), 1e-8)
         np.testing.assert_allclose(a / scale, b / scale, atol=5e-5,
                                    err_msg=nm)
+
+
+def test_slab_step_sharded_matches_single():
+    """Mesh-sharded slab step (per-slab tile shards + psum) vs the
+    single-device slab step: same loss and updated scene under SGD."""
+    import optax
+
+    from sgrt_tpu.ops.frame import orbit_camera, render_orbit_frame
+    from sgrt_tpu.parallel.fit import init_state, make_slab_frame_train_step
+    from sgrt_tpu.parallel.mesh import make_mesh
+
+    scene = grid_scene(4, sigma=0.3, magnitude=2.0)
+    cam = orbit_camera(0.0, -4.0, 1.0, 32, 32)
+    o, dirs = cam.rays()
+    target, _ = render_orbit_frame(grid_scene(4, sigma=0.35), 0.0, -4.0, 1.0,
+                                   width=32, height=32, tiles=4, capacity=16,
+                                   backend="pallas")
+    opt = optax.sgd(1e-2)
+    common = dict(width=32, height=32, tiles=4, capacity=16, slab_tiles=8)
+    s_one = make_slab_frame_train_step(opt, **common)
+    mesh = make_mesh(jax.devices()[:4])
+    s_mesh = make_slab_frame_train_step(opt, mesh=mesh, **common)
+    st1 = init_state(scene, opt)
+    st2 = init_state(scene, opt, mesh)
+    st1, l1, o1 = s_one(st1, cam.view_matrix, o, dirs, target)
+    st2, l2, o2 = s_mesh(st2, cam.view_matrix, o, dirs, target)
+    assert int(o1) == 0 and int(o2) == 0
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for fld in ("mu", "sigma", "magnitude", "albedo"):
+        np.testing.assert_allclose(np.asarray(getattr(st2.scene, fld)),
+                                   np.asarray(getattr(st1.scene, fld)),
+                                   rtol=1e-5, atol=1e-7, err_msg=fld)
