@@ -51,13 +51,15 @@ from sgrt_tpu.ops.pallas_kernel import (
 _INV_SQRT_2_PI = 1.2533141373155003   # sqrt(pi/2)
 _SQRT_2 = 1.4142135623730951
 
-# Backward VMEM ceiling on the per-call Gaussian axis. The isotropic
-# backward's measured ceiling is 4096 with 6 full (N, RB) gradient/plane
-# scratch buffers (pallas_kernel.MAX_BWD_CAPACITY); the anisotropic
-# backward holds 8 full planes (mb/co/inv/sb + dmb/dco/dsb/dinv) plus the
-# epilogue temporaries, so the ceiling is scaled by the 6/8 scratch ratio
-# until measured directly.
-MAX_BWD_CAPACITY_ANISO = 3072
+# Backward VMEM ceiling on the per-call Gaussian axis — MEASURED on the
+# v5e (round 5): the recompute backward compiles and runs at N=6144 and
+# fails Mosaic compilation at N=7168 (despite its 8 full (N, RB) planes
+# vs the isotropic kernel's 6 — both kernels hit the same wall, so the
+# binding constraint is the shared (PB, QB, RB) loop temporaries plus
+# block double-buffering, not the plane count). Scenes denser than this
+# need a finer tile grid; the isotropic path additionally has the
+# chunked-kernel route (ops.pallas_chunked).
+MAX_BWD_CAPACITY_ANISO = 6144
 
 
 def _prep_scratch_aniso(oc, invd, mag, d, mb_s, co_s, inv_s, sb_s, exp):

@@ -1414,13 +1414,15 @@ def _make_fused_op(rb, pb, qb, rb_bwd, erf_name, exp_name, interpret,
 # budget the backward falls back to the recompute (flash) path.
 SAVE_T_MAX_BYTES = 1 << 30
 
-# Backward VMEM ceiling on the per-call Gaussian axis (the padded tile
-# capacity): the gradient scratch is 6 (N, RB) f32 buffers plus ~10 skinny
-# (N, 1)/(N, 3) buffers that Mosaic lane-pads to (N, 128). Measured on
-# TPU v5e (128 MiB VMEM): capacity 4096 compiles, 5120 does not. Fitting-
-# scale scenes (50k+ Gaussians) must use tile grids fine enough that
-# per-tile counts stay under this (scripts/large_n.py measures the
-# envelope); training entry points check it up front.
+# Routing threshold on the per-call Gaussian axis (the padded tile
+# capacity): above it, production paths switch to the Gaussian-axis
+# CHUNKED kernel (ops.pallas_chunked). The monolithic backward's measured
+# compile ceiling is actually ~6144 on the v5e (round 5 re-measurement;
+# 7168 fails Mosaic compilation), but routing stays at 4096 because above
+# a few thousand rows the chunked kernel's packed Gaussian-minor operands
+# also dodge the (B, N, 3) → lane-128 relayout copies, which grow with
+# B*N (measured 5 GB at 256 tiles x 10368 — docs/LARGE_N.md) while the
+# kernels themselves run at the same erf plateau.
 MAX_BWD_CAPACITY = 4096
 
 

@@ -321,6 +321,7 @@ def render_tiles_bucketed(scene: GaussianScene, view, o, tile_dirs,
     # fitting-scale scenes; sparse buckets virtually never need this)
     chunk_dense = cfg.cap_dense > MAX_BWD_CAPACITY
     chunk_sparse = cfg.cap_sparse > MAX_BWD_CAPACITY
+    ck_d = ck_s = 0
     if chunk_dense or chunk_sparse:
         from sgrt_tpu.ops.pallas_chunked import chunk_plan
 
@@ -345,14 +346,14 @@ def render_tiles_bucketed(scene: GaussianScene, view, o, tile_dirs,
             gather_tiles(scene, idx), o, tile_dirs[ids], counts[ids],
             rb=rb, pb=pb_b, qb=qb_b, erf_name=erf_name, exp_name=exp_name)
 
-    colors_s = _bucket_render(idx_s, sparse_ids, chunk_sparse,
-                              ck_s if chunk_sparse else 0, pb_s, qb_s)
+    colors_s = _bucket_render(idx_s, sparse_ids, chunk_sparse, ck_s,
+                              pb_s, qb_s)
 
     colors = jnp.zeros((t2,) + colors_s.shape[1:], colors_s.dtype)
     colors = colors.at[sparse_ids].set(colors_s)
 
     if cfg.n_dense > 0:
-        colors_d = _bucket_render(idx_d, dense_ids, chunk_dense,
-                                  ck_d if chunk_dense else 0, pb_d, qb_d)
+        colors_d = _bucket_render(idx_d, dense_ids, chunk_dense, ck_d,
+                                  pb_d, qb_d)
         colors = colors.at[dense_ids].set(colors_d)
     return colors, counts, overflow
