@@ -257,7 +257,7 @@ def render_aniso(scene: AnisoScene, camera: Camera, origin=None,
 def _render_tiled_aniso_jit(scene, view, o, dirs, h, w, tiles, capacity,
                             q_block, tile_batch, backend,
                             erf_name="exact", exp_name="exact",
-                            bucket_cfg=None):
+                            bucket_cfg=None, focal_length=1.0):
     from sgrt_tpu.ops.render import _tile_rays, _untile_image
     from sgrt_tpu.ops.tiling import as_grid, tile_indices
 
@@ -281,7 +281,7 @@ def _render_tiled_aniso_jit(scene, view, o, dirs, h, w, tiles, capacity,
         cap_s, pb_s, qb_s = rcap(bucket_cfg.cap_sparse)
         cfg = BucketConfig(bucket_cfg.n_dense, cap_d, cap_s)
         dense_ids, idx_d, sparse_ids, idx_s, counts = bucketed_tile_indices(
-            iso_proxy(scene), view, tiles, cfg)
+            iso_proxy(scene), view, tiles, cfg, focal_length=focal_length)
         overflow = (jnp.sum(counts[sparse_ids] > cfg.cap_sparse)
                     + jnp.sum(counts[dense_ids] > cfg.cap_dense)
                     ).astype(jnp.int32)
@@ -299,7 +299,8 @@ def _render_tiled_aniso_jit(scene, view, o, dirs, h, w, tiles, capacity,
         colors = colors.at[sparse_ids].set(cs).at[dense_ids].set(cd)
         return _untile_image(colors, h, w, tiles), overflow
 
-    idx, counts = tile_indices(iso_proxy(scene), view, tiles, capacity)
+    idx, counts = tile_indices(iso_proxy(scene), view, tiles, capacity,
+                               focal_length=focal_length)
     tiled = gather_tiles_aniso(scene, idx)
     d = _tile_rays(dirs, h, w, tiles)
     overflow = jnp.sum(counts > capacity).astype(jnp.int32)
@@ -364,7 +365,12 @@ def render_tiled_aniso(scene: AnisoScene, camera: Camera, origin=None,
                                    h=h, w=w, tiles=tiles, capacity=capacity,
                                    q_block=qb, tile_batch=tile_batch,
                                    backend=backend, erf_name=erf_name,
-                                   exp_name=exp_name, bucket_cfg=bucket_cfg)
+                                   exp_name=exp_name, bucket_cfg=bucket_cfg,
+                                   # the culling projection must match the
+                                   # camera's actual rays (round-5 review:
+                                   # a non-default focal length otherwise
+                                   # gathers the wrong tile sets)
+                                   focal_length=camera.focal_length)
 
 
 def gather_tiles_aniso(scene: AnisoScene, idx: jnp.ndarray) -> AnisoScene:

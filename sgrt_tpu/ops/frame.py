@@ -103,33 +103,17 @@ def _render_orbit_frame_impl(
         return _untile_image(colors, height, width, tiles), overflow
 
     if backend == "pallas":
-        from sgrt_tpu.ops.pallas_kernel import (MAX_BWD_CAPACITY,
-                                                _block_sizes,
-                                                render_tiles_pallas)
+        from sgrt_tpu.ops.pallas_chunked import tile_renderer_for
 
         d = _tile_rays(dirs, height, width, tiles)
-        if capacity > MAX_BWD_CAPACITY:
-            # dense-scene route: Gaussian-axis chunked kernel
-            from sgrt_tpu.ops.pallas_chunked import (chunk_plan,
-                                                     render_tiles_chunked)
-
-            capacity, ck = chunk_plan(capacity)
-            idx, counts = tile_indices(scene, cam.view_matrix, tiles,
-                                       capacity, focal_length=focal_length)
-            colors = render_tiles_chunked(gather_tiles(scene, idx), o, d,
-                                          counts, ck=ck, erf_name=erf_name,
-                                          exp_name=exp_name)
-            overflow = jnp.sum(counts > capacity).astype(jnp.int32)
-            return _untile_image(colors, height, width, tiles), overflow
-
-        # Round capacity up so the Gaussian axis divides into kernel blocks.
-        pb, qb = _block_sizes(capacity)
-        capacity = -(-capacity // qb) * qb
+        # one routing point: monolithic fused kernel, or the Gaussian-axis
+        # chunked kernel above its ceiling (dense scenes)
+        capacity, render_tiles = tile_renderer_for(capacity,
+                                                   erf_name=erf_name,
+                                                   exp_name=exp_name)
         idx, counts = tile_indices(scene, cam.view_matrix, tiles, capacity,
                                    focal_length=focal_length)
-        tiled = gather_tiles(scene, idx)
-        colors = render_tiles_pallas(tiled, o, d, counts, pb=pb, qb=qb,
-                                     erf_name=erf_name, exp_name=exp_name)
+        colors = render_tiles(gather_tiles(scene, idx), o, d, counts)
         overflow = jnp.sum(counts > capacity).astype(jnp.int32)
         return _untile_image(colors, height, width, tiles), overflow
 
@@ -210,7 +194,7 @@ def _render_orbit_batch_impl(scene, angles, offset=-4.0, focal_length=1.0, *,
     the measurement settles the round-3/4 "dispatch-bound" hypothesis and
     the batched form is the right shape for rigs where dispatch does not
     pipeline."""
-    from sgrt_tpu.ops.pallas_kernel import _block_sizes, render_tiles_pallas
+    from sgrt_tpu.ops.pallas_chunked import tile_renderer_for
     from sgrt_tpu.ops.tiling import as_grid
 
     tx, ty = as_grid(tiles)
@@ -221,8 +205,8 @@ def _render_orbit_batch_impl(scene, angles, offset=-4.0, focal_length=1.0, *,
         bucket_cfg = None
 
     if bucket_cfg is None:
-        pb, qb = _block_sizes(capacity)
-        cap = -(-capacity // qb) * qb
+        cap, render_tiles = tile_renderer_for(capacity, erf_name=erf_name,
+                                              exp_name=exp_name)
         idxs, cnts, ds, origins = [], [], [], []
         for f in range(n_frames):
             cam = orbit_camera(angles[f], offset, focal_length, width,
@@ -238,9 +222,7 @@ def _render_orbit_batch_impl(scene, angles, offset=-4.0, focal_length=1.0, *,
         counts = jnp.concatenate(cnts)
         d = jnp.concatenate(ds)
         o_b = jnp.concatenate(origins)
-        tiled = gather_tiles(scene, idx)
-        colors = render_tiles_pallas(tiled, o_b, d, counts, pb=pb, qb=qb,
-                                     erf_name=erf_name, exp_name=exp_name)
+        colors = render_tiles(gather_tiles(scene, idx), o_b, d, counts)
         overflow = jnp.sum(counts > cap).astype(jnp.int32)
         imgs = jnp.stack([
             _untile_image(colors[f * t2:(f + 1) * t2], height, width, tiles)
@@ -248,14 +230,15 @@ def _render_orbit_batch_impl(scene, angles, offset=-4.0, focal_length=1.0, *,
         return imgs, overflow
 
     # bucketed: one dense + one sparse launch across ALL frames
-    import math
-
-    from sgrt_tpu.ops.scheduler import bucketed_tile_indices
+    from sgrt_tpu.ops.scheduler import BucketConfig, bucketed_tile_indices
 
     cfg = bucket_cfg
-    pb_d, qb_d = _block_sizes(cfg.cap_dense)
-    pb_s, qb_s = _block_sizes(cfg.cap_sparse)
-    cfg = cfg.round_to(math.lcm(pb_d, qb_d), math.lcm(pb_s, qb_s))
+    cap_d, render_dense = tile_renderer_for(cfg.cap_dense, erf_name=erf_name,
+                                            exp_name=exp_name)
+    cap_s, render_sparse = tile_renderer_for(cfg.cap_sparse,
+                                             erf_name=erf_name,
+                                             exp_name=exp_name)
+    cfg = BucketConfig(cfg.n_dense, cap_d, cap_s)
     per = {"idx_d": [], "cnt_d": [], "d_d": [], "o_d": [], "ids_d": [],
            "idx_s": [], "cnt_s": [], "d_s": [], "o_s": [], "ids_s": []}
     overflow = jnp.zeros((), jnp.int32)
@@ -279,12 +262,10 @@ def _render_orbit_batch_impl(scene, angles, offset=-4.0, focal_length=1.0, *,
         per["o_s"].append(jnp.broadcast_to(o, (t2 - cfg.n_dense, 3)))
         per["ids_s"].append(sparse_ids)
     cat = {k: jnp.concatenate(v) for k, v in per.items() if k[:3] != "ids"}
-    colors_d = render_tiles_pallas(
-        gather_tiles(scene, cat["idx_d"]), cat["o_d"], cat["d_d"],
-        cat["cnt_d"], pb=pb_d, qb=qb_d, erf_name=erf_name, exp_name=exp_name)
-    colors_s = render_tiles_pallas(
-        gather_tiles(scene, cat["idx_s"]), cat["o_s"], cat["d_s"],
-        cat["cnt_s"], pb=pb_s, qb=qb_s, erf_name=erf_name, exp_name=exp_name)
+    colors_d = render_dense(gather_tiles(scene, cat["idx_d"]), cat["o_d"],
+                            cat["d_d"], cat["cnt_d"])
+    colors_s = render_sparse(gather_tiles(scene, cat["idx_s"]), cat["o_s"],
+                             cat["d_s"], cat["cnt_s"])
     nd, ns = cfg.n_dense, t2 - cfg.n_dense
     imgs = []
     for f in range(n_frames):

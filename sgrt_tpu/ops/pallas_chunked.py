@@ -110,6 +110,44 @@ def _live(count, c0, ck):
     return jnp.clip(count - c0, 0, ck)
 
 
+def tile_renderer_for(capacity: int, *, erf_name: str = "as5",
+                      exp_name: str = "exact", pb: int | None = None,
+                      qb: int | None = None, rb: int = 128):
+    """Route a per-tile renderer by capacity — THE single place deciding
+    between the monolithic fused kernel (<= pallas_kernel.MAX_BWD_CAPACITY)
+    and this module's chunked kernel (above it; up to
+    MAX_CHUNKED_CAPACITY). Returns (padded_capacity,
+    render_fn(tiled_scene, o, tile_dirs, counts)) — callers gather/compact
+    at the padded capacity. pb/qb override the monolithic block sizes
+    (the chunked kernel picks its own from the chunk size)."""
+    import math
+
+    from sgrt_tpu.ops.pallas_kernel import (MAX_BWD_CAPACITY,
+                                            render_tiles_pallas)
+
+    if capacity > MAX_BWD_CAPACITY:
+        cap, ck = chunk_plan(capacity)
+
+        def render_fn(tiled, o, d, counts):
+            return render_tiles_chunked(tiled, o, d, counts, ck=ck, rb=rb,
+                                        erf_name=erf_name,
+                                        exp_name=exp_name)
+
+        return cap, render_fn
+
+    dpb, dqb = _block_sizes(capacity)
+    pb = dpb if pb is None else pb
+    qb = dqb if qb is None else qb
+    align = math.lcm(pb, qb)
+    cap = max(align, -(-capacity // align) * align)
+
+    def render_fn(tiled, o, d, counts):
+        return render_tiles_pallas(tiled, o, d, counts, rb=rb, pb=pb, qb=qb,
+                                   erf_name=erf_name, exp_name=exp_name)
+
+    return cap, render_fn
+
+
 def chunk_plan(capacity: int) -> tuple[int, int]:
     """Size the chunk axis for a requested per-tile capacity: the smallest
     chunk count C = ceil(capacity / DEFAULT_CHUNK), with the chunk size ck

@@ -24,8 +24,6 @@ on the host (the analog of sizing `capacity` with probe_capacity).
 
 from __future__ import annotations
 
-import functools
-import math
 from typing import NamedTuple
 
 import jax
@@ -300,60 +298,33 @@ def render_tiles_bucketed(scene: GaussianScene, view, o, tile_dirs,
     their bucket capacity; 0 means nothing was truncated)). Differentiable
     w.r.t. the scene (the bucket gathers transpose to scatter-adds). pb/qb
     default per-bucket via _block_sizes."""
-    from sgrt_tpu.ops.pallas_kernel import (MAX_BWD_CAPACITY, _block_sizes,
-                                            render_tiles_pallas)
+    from sgrt_tpu.ops.pallas_chunked import tile_renderer_for
 
     t2 = tile_dirs.shape[0]
     if tiles is None:
         tiles = int(round(t2 ** 0.5))  # square-grid default
-    # round capacities so each bucket's Gaussian axis divides into blocks;
-    # pb/qb overrides resolve independently (defaults fill whichever is None)
-    dp_d, dq_d = _block_sizes(cfg.cap_dense)
-    dp_s, dq_s = _block_sizes(cfg.cap_sparse)
-    pb_d = dp_d if pb is None else pb
-    qb_d = dq_d if qb is None else qb
-    pb_s = dp_s if pb is None else pb
-    qb_s = dq_s if qb is None else qb
-    # lcm, not max: with custom pb/qb where neither divides the other,
-    # rounding to max would leave a capacity the kernel rejects
-    cfg = cfg.round_to(math.lcm(pb_d, qb_d), math.lcm(pb_s, qb_s))
-    # buckets above the monolithic VMEM ceiling → chunked kernel (dense
-    # fitting-scale scenes; sparse buckets virtually never need this)
-    chunk_dense = cfg.cap_dense > MAX_BWD_CAPACITY
-    chunk_sparse = cfg.cap_sparse > MAX_BWD_CAPACITY
-    ck_d = ck_s = 0
-    if chunk_dense or chunk_sparse:
-        from sgrt_tpu.ops.pallas_chunked import chunk_plan
-
-        cap_d, ck_d = (chunk_plan(cfg.cap_dense) if chunk_dense
-                       else (cfg.cap_dense, 0))
-        cap_s, ck_s = (chunk_plan(cfg.cap_sparse) if chunk_sparse
-                       else (cfg.cap_sparse, 0))
-        cfg = BucketConfig(cfg.n_dense, cap_d, cap_s)
+    # per-bucket routing (monolithic with pb/qb overrides vs chunked past
+    # the monolithic ceiling) and capacity rounding through ONE helper
+    cap_d, render_dense = tile_renderer_for(cfg.cap_dense, pb=pb, qb=qb,
+                                            rb=rb, erf_name=erf_name,
+                                            exp_name=exp_name)
+    cap_s, render_sparse = tile_renderer_for(cfg.cap_sparse, pb=pb, qb=qb,
+                                             rb=rb, erf_name=erf_name,
+                                             exp_name=exp_name)
+    cfg = BucketConfig(cfg.n_dense, cap_d, cap_s)
     dense_ids, idx_d, sparse_ids, idx_s, counts = bucketed_tile_indices(
         scene, view, tiles, cfg, focal_length=focal_length)
     overflow = (jnp.sum(counts[sparse_ids] > cfg.cap_sparse)
                 + jnp.sum(counts[dense_ids] > cfg.cap_dense)).astype(jnp.int32)
 
-    def _bucket_render(idx, ids, chunked, ck, pb_b, qb_b):
-        if chunked:
-            from sgrt_tpu.ops.pallas_chunked import render_tiles_chunked
-
-            return render_tiles_chunked(
-                gather_tiles(scene, idx), o, tile_dirs[ids], counts[ids],
-                ck=ck, rb=rb, erf_name=erf_name, exp_name=exp_name)
-        return render_tiles_pallas(
-            gather_tiles(scene, idx), o, tile_dirs[ids], counts[ids],
-            rb=rb, pb=pb_b, qb=qb_b, erf_name=erf_name, exp_name=exp_name)
-
-    colors_s = _bucket_render(idx_s, sparse_ids, chunk_sparse, ck_s,
-                              pb_s, qb_s)
+    colors_s = render_sparse(gather_tiles(scene, idx_s), o,
+                             tile_dirs[sparse_ids], counts[sparse_ids])
 
     colors = jnp.zeros((t2,) + colors_s.shape[1:], colors_s.dtype)
     colors = colors.at[sparse_ids].set(colors_s)
 
     if cfg.n_dense > 0:
-        colors_d = _bucket_render(idx_d, dense_ids, chunk_dense, ck_d,
-                                  pb_d, qb_d)
+        colors_d = render_dense(gather_tiles(scene, idx_d), o,
+                                tile_dirs[dense_ids], counts[dense_ids])
         colors = colors.at[dense_ids].set(colors_d)
     return colors, counts, overflow

@@ -210,20 +210,19 @@ def make_frame_value_and_grad(
     exposed so callers (verify_tpu, tests) can compare raw gradients across
     backends without an optimizer in the loop. Unjitted; jit at the call
     site."""
-    from sgrt_tpu.ops.pallas_kernel import MAX_BWD_CAPACITY, _block_sizes
+    from sgrt_tpu.ops.pallas_kernel import _block_sizes
     from sgrt_tpu.ops.render import _tile_rays
     from sgrt_tpu.ops.tiling import gather_tiles, tile_indices
 
     _check_bwd_capacity(capacity, bucket_cfg, backend)
-    use_chunked = backend == "pallas" and capacity > MAX_BWD_CAPACITY
-    if use_chunked:
-        # dense-scene route: Gaussian-axis chunked kernel (no VMEM wall)
-        from sgrt_tpu.ops.pallas_chunked import chunk_plan
+    if backend == "pallas":
+        # ONE routing point (monolithic vs Gaussian-axis chunked kernel)
+        from sgrt_tpu.ops.pallas_chunked import tile_renderer_for
 
-        capacity, ck = chunk_plan(capacity)
-        pb = qb = None
+        capacity, _render = tile_renderer_for(capacity, erf_name=erf_name,
+                                              exp_name=exp_name)
     else:
-        pb, qb = _block_sizes(capacity)
+        _, qb = _block_sizes(capacity)
         capacity = -(-capacity // qb) * qb
 
     def masked_scene(scene):
@@ -237,16 +236,7 @@ def make_frame_value_and_grad(
     def tile_render(scene, idx, counts, o, d):
         tiled = gather_tiles(scene, idx)
         if backend == "pallas":
-            if use_chunked:
-                from sgrt_tpu.ops.pallas_chunked import render_tiles_chunked
-
-                return render_tiles_chunked(tiled, o, d, counts, ck=ck,
-                                            erf_name=erf_name,
-                                            exp_name=exp_name)
-            from sgrt_tpu.ops.pallas_kernel import render_tiles_pallas
-
-            return render_tiles_pallas(tiled, o, d, counts, pb=pb, qb=qb,
-                                       erf_name=erf_name, exp_name=exp_name)
+            return _render(tiled, o, d, counts)
         return _xla_tile_render(tiled, o, d, min(q_block, capacity),
                                 tile_batch)
 
@@ -300,12 +290,9 @@ def _make_sharded_bucketed_step(
     part — is sharded. The reference's analog is the work-stealing pool
     over per-tile vectors (rt.cpp:64, thread-pool.h:9-35).
     """
-    import math
-
-    from sgrt_tpu.ops.pallas_kernel import (MAX_BWD_CAPACITY, _block_sizes,
-                                            render_tiles_pallas)
+    from sgrt_tpu.ops.pallas_chunked import tile_renderer_for
     from sgrt_tpu.ops.render import _tile_rays
-    from sgrt_tpu.ops.scheduler import bucketed_tile_indices
+    from sgrt_tpu.ops.scheduler import BucketConfig, bucketed_tile_indices
     from sgrt_tpu.ops.tiling import as_grid, gather_tiles
 
     n_dev = mesh.devices.size
@@ -317,36 +304,23 @@ def _make_sharded_bucketed_step(
             f"bucket sizes ({cfg.n_dense}, {t2 - cfg.n_dense}) must divide "
             f"the mesh ({n_dev} devices); size with "
             f"probe_buckets(..., multiple_of={n_dev})")
-    pb_d, qb_d = _block_sizes(cfg.cap_dense)
-    pb_s, qb_s = _block_sizes(cfg.cap_sparse)
-    cfg = cfg.round_to(math.lcm(pb_d, qb_d), math.lcm(pb_s, qb_s))
-    _check_bwd_capacity(cfg.cap_dense, None, "pallas")
-    # dense bucket above the monolithic VMEM ceiling → chunked kernel
-    chunk_dense = cfg.cap_dense > MAX_BWD_CAPACITY
-    if chunk_dense:
-        from sgrt_tpu.ops.pallas_chunked import chunk_plan
-
-        cap_d, ck_d = chunk_plan(cfg.cap_dense)
-        cfg = cfg._replace(cap_dense=cap_d)
-
-    def _render_dense(ms, idx_d, cnt_d, d_d, o):
-        if chunk_dense:
-            from sgrt_tpu.ops.pallas_chunked import render_tiles_chunked
-
-            return render_tiles_chunked(gather_tiles(ms, idx_d), o, d_d,
-                                        cnt_d, ck=ck_d, erf_name=erf_name,
-                                        exp_name=exp_name)
-        return render_tiles_pallas(gather_tiles(ms, idx_d), o, d_d, cnt_d,
-                                   pb=pb_d, qb=qb_d, erf_name=erf_name,
-                                   exp_name=exp_name)
+    _check_bwd_capacity(max(cfg.cap_dense, cfg.cap_sparse), None, "pallas")
+    # per-bucket routing (monolithic vs chunked) through ONE helper — a
+    # fitting-scale sparse bucket must not slip back onto the monolithic
+    # kernel past its ceiling
+    cap_d, render_dense = tile_renderer_for(cfg.cap_dense,
+                                            erf_name=erf_name,
+                                            exp_name=exp_name)
+    cap_s, render_sparse = tile_renderer_for(cfg.cap_sparse,
+                                             erf_name=erf_name,
+                                             exp_name=exp_name)
+    cfg = BucketConfig(cfg.n_dense, cap_d, cap_s)
 
     def local_vg(scene, idx_d, cnt_d, d_d, tgt_d, idx_s, cnt_s, d_s, tgt_s, o):
         def f(s):
             ms = masked_scene(s)
-            cd = _render_dense(ms, idx_d, cnt_d, d_d, o)
-            cs = render_tiles_pallas(gather_tiles(ms, idx_s), o, d_s, cnt_s,
-                                     pb=pb_s, qb=qb_s, erf_name=erf_name,
-                                     exp_name=exp_name)
+            cd = render_dense(gather_tiles(ms, idx_d), o, d_d, cnt_d)
+            cs = render_sparse(gather_tiles(ms, idx_s), o, d_s, cnt_s)
             # mean over this device's elements; every device holds the same
             # tile count, so pmean of the means is the global mean
             return ((jnp.sum((cd - tgt_d) ** 2) + jnp.sum((cs - tgt_s) ** 2))
@@ -431,7 +405,7 @@ def make_frame_train_step(
     device carries a balanced slice of both buckets; bucket sizes must
     divide the mesh (probe_buckets(..., multiple_of=D)).
     """
-    from sgrt_tpu.ops.pallas_kernel import MAX_BWD_CAPACITY, _block_sizes
+    from sgrt_tpu.ops.pallas_kernel import _block_sizes
     from sgrt_tpu.ops.render import _tile_rays, _untile_image
     from sgrt_tpu.ops.tiling import gather_tiles, tile_indices
 
@@ -445,14 +419,13 @@ def make_frame_train_step(
             and not bucket_cfg.n_dense and mesh is not None):
         capacity = max(capacity, bucket_cfg.cap_dense)
     _check_bwd_capacity(capacity, bucket_cfg, backend)
-    use_chunked = backend == "pallas" and capacity > MAX_BWD_CAPACITY
-    if use_chunked:
-        from sgrt_tpu.ops.pallas_chunked import chunk_plan
+    if backend == "pallas":
+        from sgrt_tpu.ops.pallas_chunked import tile_renderer_for
 
-        capacity, ck = chunk_plan(capacity)
-        pb = qb = None
+        capacity, _render = tile_renderer_for(capacity, erf_name=erf_name,
+                                              exp_name=exp_name)
     else:
-        pb, qb = _block_sizes(capacity)
+        _, qb = _block_sizes(capacity)
         capacity = -(-capacity // qb) * qb
     tx_, ty_ = as_grid(tiles)
     t2 = tx_ * ty_
@@ -478,16 +451,7 @@ def make_frame_train_step(
     def tile_render(scene, idx, counts, o, d):
         tiled = gather_tiles(scene, idx)
         if backend == "pallas":
-            if use_chunked:
-                from sgrt_tpu.ops.pallas_chunked import render_tiles_chunked
-
-                return render_tiles_chunked(tiled, o, d, counts, ck=ck,
-                                            erf_name=erf_name,
-                                            exp_name=exp_name)
-            from sgrt_tpu.ops.pallas_kernel import render_tiles_pallas
-
-            return render_tiles_pallas(tiled, o, d, counts, pb=pb, qb=qb,
-                                       erf_name=erf_name, exp_name=exp_name)
+            return _render(tiled, o, d, counts)
         return _xla_tile_render(tiled, o, d, min(128, capacity), 16)
 
     def masked_scene(scene):
@@ -583,19 +547,13 @@ def make_slab_frame_train_step(
     Dispatches n_slabs + 2 device programs per step with no host syncs in
     between (device execution pipelines behind the dispatch loop).
     """
-    from sgrt_tpu.ops.pallas_kernel import MAX_BWD_CAPACITY, _block_sizes
+    from sgrt_tpu.ops.pallas_chunked import tile_renderer_for
     from sgrt_tpu.ops.render import _tile_rays
     from sgrt_tpu.ops.tiling import as_grid, gather_tiles, tile_indices
 
     _check_bwd_capacity(capacity, None, "pallas")
-    use_chunked = capacity > MAX_BWD_CAPACITY
-    if use_chunked:
-        from sgrt_tpu.ops.pallas_chunked import chunk_plan
-
-        capacity, ck = chunk_plan(capacity)
-    else:
-        pb, qb = _block_sizes(capacity)
-        capacity = -(-capacity // qb) * qb
+    capacity, _render = tile_renderer_for(capacity, erf_name=erf_name,
+                                          exp_name=exp_name)
     tx_, ty_ = as_grid(tiles)
     t2 = tx_ * ty_
     n_dev = 1 if mesh is None else mesh.devices.size
@@ -628,18 +586,7 @@ def make_slab_frame_train_step(
     def _local_vg(scene, idx_s, cnt_s, d_s, tgt_s, o):
         def f(s):
             tiled = gather_tiles(masked_scene(s), idx_s)
-            if use_chunked:
-                from sgrt_tpu.ops.pallas_chunked import render_tiles_chunked
-
-                colors = render_tiles_chunked(tiled, o, d_s, cnt_s, ck=ck,
-                                              erf_name=erf_name,
-                                              exp_name=exp_name)
-            else:
-                from sgrt_tpu.ops.pallas_kernel import render_tiles_pallas
-
-                colors = render_tiles_pallas(tiled, o, d_s, cnt_s, pb=pb,
-                                             qb=qb, erf_name=erf_name,
-                                             exp_name=exp_name)
+            colors = _render(tiled, o, d_s, cnt_s)
             return jnp.sum((colors - tgt_s) ** 2)
 
         return jax.value_and_grad(f)(scene)

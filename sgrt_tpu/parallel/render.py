@@ -73,12 +73,9 @@ def make_sharded_frame_renderer(
     This is the forward-only sibling of fit._make_sharded_bucketed_step:
     the flagship kernel exercised under shard_map without the train loop.
     """
-    import math
-
-    from sgrt_tpu.ops.pallas_kernel import (MAX_BWD_CAPACITY, _block_sizes,
-                                            render_tiles_pallas)
+    from sgrt_tpu.ops.pallas_chunked import tile_renderer_for
     from sgrt_tpu.ops.render import _tile_rays, _untile_image
-    from sgrt_tpu.ops.scheduler import bucketed_tile_indices
+    from sgrt_tpu.ops.scheduler import BucketConfig, bucketed_tile_indices
     from sgrt_tpu.ops.tiling import as_grid, gather_tiles, tile_indices
 
     n_dev = mesh.devices.size
@@ -92,28 +89,14 @@ def make_sharded_frame_renderer(
                 f"bucket sizes ({cfg.n_dense}, {t2 - cfg.n_dense}) must "
                 f"divide the mesh ({n_dev} devices); size with "
                 f"probe_buckets(..., multiple_of={n_dev})")
-        pb_d, qb_d = _block_sizes(cfg.cap_dense)
-        pb_s, qb_s = _block_sizes(cfg.cap_sparse)
-        cfg = cfg.round_to(math.lcm(pb_d, qb_d), math.lcm(pb_s, qb_s))
-        # dense-scene route: chunked kernel above the monolithic ceiling
-        chunk_dense = cfg.cap_dense > MAX_BWD_CAPACITY
-        if chunk_dense:
-            from sgrt_tpu.ops.pallas_chunked import chunk_plan
-
-            cap_d, ck_d = chunk_plan(cfg.cap_dense)
-            cfg = cfg._replace(cap_dense=cap_d)
-
-        def _dense(scene, idx_d, cnt_d, d_d, o):
-            if chunk_dense:
-                from sgrt_tpu.ops.pallas_chunked import render_tiles_chunked
-
-                return render_tiles_chunked(gather_tiles(scene, idx_d), o,
-                                            d_d, cnt_d, ck=ck_d,
-                                            erf_name=erf_name,
-                                            exp_name=exp_name)
-            return render_tiles_pallas(gather_tiles(scene, idx_d), o, d_d,
-                                       cnt_d, pb=pb_d, qb=qb_d,
-                                       erf_name=erf_name, exp_name=exp_name)
+        # per-bucket routing (monolithic vs chunked) through ONE helper
+        cap_d, render_dense = tile_renderer_for(cfg.cap_dense,
+                                                erf_name=erf_name,
+                                                exp_name=exp_name)
+        cap_s, render_sparse = tile_renderer_for(cfg.cap_sparse,
+                                                 erf_name=erf_name,
+                                                 exp_name=exp_name)
+        cfg = BucketConfig(cfg.n_dense, cap_d, cap_s)
 
         @functools.partial(
             jax.shard_map,
@@ -125,10 +108,8 @@ def make_sharded_frame_renderer(
         )
         def sharded_render(scene, idx_d, cnt_d, d_d, d_s_pack, o):
             idx_s, cnt_s, d_s = d_s_pack
-            cd = _dense(scene, idx_d, cnt_d, d_d, o)
-            cs = render_tiles_pallas(gather_tiles(scene, idx_s), o, d_s,
-                                     cnt_s, pb=pb_s, qb=qb_s,
-                                     erf_name=erf_name, exp_name=exp_name)
+            cd = render_dense(gather_tiles(scene, idx_d), o, d_d, cnt_d)
+            cs = render_sparse(gather_tiles(scene, idx_s), o, d_s, cnt_s)
             return cd, cs
 
         @jax.jit
@@ -158,15 +139,8 @@ def make_sharded_frame_renderer(
         capacity = max(capacity, bucket_cfg.cap_dense)
     if t2 % n_dev:
         raise ValueError(f"tile count {t2} not divisible by mesh ({n_dev})")
-    use_chunked = capacity > MAX_BWD_CAPACITY
-    if use_chunked:
-        from sgrt_tpu.ops.pallas_chunked import chunk_plan
-
-        cap, ck = chunk_plan(capacity)
-        pb = qb = None
-    else:
-        pb, qb = _block_sizes(capacity)
-        cap = -(-capacity // math.lcm(pb, qb)) * math.lcm(pb, qb)
+    cap, _render = tile_renderer_for(capacity, erf_name=erf_name,
+                                     exp_name=exp_name)
 
     @functools.partial(
         jax.shard_map,
@@ -176,15 +150,7 @@ def make_sharded_frame_renderer(
         check_vma=False,
     )
     def sharded_render(scene, idx, cnt, d, o):
-        if use_chunked:
-            from sgrt_tpu.ops.pallas_chunked import render_tiles_chunked
-
-            return render_tiles_chunked(gather_tiles(scene, idx), o, d, cnt,
-                                        ck=ck, erf_name=erf_name,
-                                        exp_name=exp_name)
-        return render_tiles_pallas(gather_tiles(scene, idx), o, d, cnt,
-                                   pb=pb, qb=qb, erf_name=erf_name,
-                                   exp_name=exp_name)
+        return _render(gather_tiles(scene, idx), o, d, cnt)
 
     @jax.jit
     def render(scene, view, o, dirs):

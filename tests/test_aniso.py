@@ -354,3 +354,18 @@ def test_aniso_bucketed_step_matches_single():
         np.testing.assert_allclose(np.asarray(getattr(st2.scene, fld)),
                                    np.asarray(getattr(st1.scene, fld)),
                                    rtol=1e-5, atol=1e-7, err_msg=fld)
+
+
+def test_tiled_aniso_respects_focal_length():
+    """The tiled aniso culling must project with the CAMERA's focal length
+    (round-5 review: it silently used 1.0, gathering wrong tile sets for
+    any other focal): at focal 2 the tiled render must match the untiled
+    fused renderer."""
+    cam = Camera.create(position=(0.0, 0.0, -3.0), width=32, height=32,
+                        focal_length=2.0)
+    untiled = an.render_aniso(SCENE, cam, q_block=8, ray_block=256)
+    tiled, ovf = an.render_tiled_aniso(SCENE, cam, tiles=4, capacity=8,
+                                       q_block=8)
+    assert int(ovf) == 0
+    assert float(np.abs(np.asarray(tiled) - np.asarray(untiled)).max()) \
+        < 1.0 / 255.0

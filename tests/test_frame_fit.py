@@ -188,3 +188,39 @@ def test_render_orbit_frames_matches_per_frame():
                                     capacity=32)
         np.testing.assert_allclose(np.asarray(imgs[i]), np.asarray(ref),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_batched_orbit_matches_per_frame():
+    """render_orbit_frames_batched (cross-frame tile batching, plain and
+    bucketed, incl. a trailing partial batch) must be pixel-identical to
+    the per-frame loop."""
+    import numpy as np
+
+    from sgrt_tpu.models.gaussians import grid_scene
+    from sgrt_tpu.ops.frame import (render_orbit_frame,
+                                    render_orbit_frames_batched)
+    from sgrt_tpu.ops.scheduler import BucketConfig
+
+    scene = grid_scene(4, sigma=0.3, magnitude=2.0)
+    angles = [0.0, 25.0, 50.0, 75.0, 100.0]   # 5 frames, batch 3 → partial
+    cfg = dict(width=32, height=32, tiles=4, capacity=16)
+
+    ref = [np.asarray(render_orbit_frame(scene, a, -4.0, 1.0,
+                                         backend="pallas", **cfg)[0])
+           for a in angles]
+    b_plain, ovf = render_orbit_frames_batched(scene, angles, -4.0, 1.0,
+                                               batch_frames=3, **cfg)
+    assert int(ovf) == 0
+    for i in range(len(angles)):
+        np.testing.assert_array_equal(np.asarray(b_plain[i]), ref[i])
+
+    bc = BucketConfig(4, 16, 8)
+    ref_b = [np.asarray(render_orbit_frame(scene, a, -4.0, 1.0,
+                                           backend="pallas", bucket_cfg=bc,
+                                           **cfg)[0]) for a in angles]
+    b_bkt, ovf_b = render_orbit_frames_batched(scene, angles, -4.0, 1.0,
+                                               batch_frames=3, bucket_cfg=bc,
+                                               **cfg)
+    assert int(ovf_b) == 0
+    for i in range(len(angles)):
+        np.testing.assert_array_equal(np.asarray(b_bkt[i]), ref_b[i])
