@@ -264,21 +264,16 @@ def _render_tiled_aniso_jit(scene, view, o, dirs, h, w, tiles, capacity,
     if backend == "pallas" and bucket_cfg is not None and bucket_cfg.n_dense:
         # bucketed aniso forward: dense/sparse capacities from the
         # iso_proxy counts, two fused-aniso launches, scatter reassembly —
-        # the aniso twin of scheduler.render_tiles_bucketed
-        import math
-
-        from sgrt_tpu.ops.pallas_aniso import render_tiles_pallas_aniso
-        from sgrt_tpu.ops.pallas_kernel import _block_sizes
+        # the aniso twin of scheduler.render_tiles_bucketed; per-bucket
+        # routing (monolithic vs chunked) through tile_renderer_aniso_for
+        from sgrt_tpu.ops.pallas_chunked_aniso import tile_renderer_aniso_for
         from sgrt_tpu.ops.scheduler import (BucketConfig,
                                             bucketed_tile_indices)
 
-        def rcap(c):
-            pb_, qb_ = _block_sizes(c)
-            al = math.lcm(pb_, qb_)
-            return max(al, -(-c // al) * al), pb_, qb_
-
-        cap_d, pb_d, qb_d = rcap(bucket_cfg.cap_dense)
-        cap_s, pb_s, qb_s = rcap(bucket_cfg.cap_sparse)
+        cap_d, render_dense = tile_renderer_aniso_for(
+            bucket_cfg.cap_dense, erf_name=erf_name, exp_name=exp_name)
+        cap_s, render_sparse = tile_renderer_aniso_for(
+            bucket_cfg.cap_sparse, erf_name=erf_name, exp_name=exp_name)
         cfg = BucketConfig(bucket_cfg.n_dense, cap_d, cap_s)
         dense_ids, idx_d, sparse_ids, idx_s, counts = bucketed_tile_indices(
             iso_proxy(scene), view, tiles, cfg, focal_length=focal_length)
@@ -286,17 +281,25 @@ def _render_tiled_aniso_jit(scene, view, o, dirs, h, w, tiles, capacity,
                     + jnp.sum(counts[dense_ids] > cfg.cap_dense)
                     ).astype(jnp.int32)
         d = _tile_rays(dirs, h, w, tiles)
-        cd = render_tiles_pallas_aniso(
-            gather_tiles_aniso(scene, idx_d), o, d[dense_ids],
-            counts[dense_ids], pb=pb_d, qb=qb_d, erf_name=erf_name,
-            exp_name=exp_name)
-        cs = render_tiles_pallas_aniso(
-            gather_tiles_aniso(scene, idx_s), o, d[sparse_ids],
-            counts[sparse_ids], pb=pb_s, qb=qb_s, erf_name=erf_name,
-            exp_name=exp_name)
+        cd = render_dense(gather_tiles_aniso(scene, idx_d), o, d[dense_ids],
+                          counts[dense_ids])
+        cs = render_sparse(gather_tiles_aniso(scene, idx_s), o,
+                           d[sparse_ids], counts[sparse_ids])
         t2 = d.shape[0]
         colors = jnp.zeros((t2,) + cs.shape[1:], cs.dtype)
         colors = colors.at[sparse_ids].set(cs).at[dense_ids].set(cd)
+        return _untile_image(colors, h, w, tiles), overflow
+
+    if backend == "pallas":
+        from sgrt_tpu.ops.pallas_chunked_aniso import tile_renderer_aniso_for
+
+        capacity, render_tiles = tile_renderer_aniso_for(
+            capacity, erf_name=erf_name, exp_name=exp_name)
+        idx, counts = tile_indices(iso_proxy(scene), view, tiles, capacity,
+                                   focal_length=focal_length)
+        d = _tile_rays(dirs, h, w, tiles)
+        overflow = jnp.sum(counts > capacity).astype(jnp.int32)
+        colors = render_tiles(gather_tiles_aniso(scene, idx), o, d, counts)
         return _untile_image(colors, h, w, tiles), overflow
 
     idx, counts = tile_indices(iso_proxy(scene), view, tiles, capacity,
@@ -304,14 +307,6 @@ def _render_tiled_aniso_jit(scene, view, o, dirs, h, w, tiles, capacity,
     tiled = gather_tiles_aniso(scene, idx)
     d = _tile_rays(dirs, h, w, tiles)
     overflow = jnp.sum(counts > capacity).astype(jnp.int32)
-
-    if backend == "pallas":
-        from sgrt_tpu.ops.pallas_aniso import render_tiles_pallas_aniso
-
-        colors = render_tiles_pallas_aniso(tiled, o, d, counts,
-                                           erf_name=erf_name,
-                                           exp_name=exp_name)
-        return _untile_image(colors, h, w, tiles), overflow
 
     qb = min(q_block, capacity)
 

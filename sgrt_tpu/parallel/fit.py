@@ -677,12 +677,9 @@ def make_aniso_frame_train_step(
     Returns step(state, view, o, dirs, target) → (state, loss, overflow);
     state is a FitState whose .scene is an anisotropic.AnisoScene.
     """
-    import math
-
     from sgrt_tpu.ops.anisotropic import gather_tiles_aniso, iso_proxy
-    from sgrt_tpu.ops.pallas_aniso import (MAX_BWD_CAPACITY_ANISO,
-                                           render_tiles_pallas_aniso)
-    from sgrt_tpu.ops.pallas_kernel import _block_sizes
+    from sgrt_tpu.ops.pallas_chunked import MAX_CHUNKED_CAPACITY
+    from sgrt_tpu.ops.pallas_chunked_aniso import tile_renderer_aniso_for
     from sgrt_tpu.ops.render import _tile_rays
     from sgrt_tpu.ops.tiling import as_grid, tile_indices
 
@@ -691,21 +688,19 @@ def make_aniso_frame_train_step(
         capacity = max(capacity, bucket_cfg.cap_dense)
         bucket_cfg = None
 
-    def _round_cap(cap):
-        pb_, qb_ = _block_sizes(cap)
-        align = math.lcm(pb_, qb_)
-        return max(align, -(-cap // align) * align), pb_, qb_
-
-    capacity, pb, qb = _round_cap(capacity)
     worst = capacity if bucket_cfg is None else max(capacity,
-                                                    bucket_cfg.cap_dense)
-    # the aniso backward holds 8 full (N, RB) planes vs the isotropic 6 —
-    # its own, smaller ceiling (pallas_aniso.MAX_BWD_CAPACITY_ANISO)
-    if worst > MAX_BWD_CAPACITY_ANISO:
+                                                    bucket_cfg.cap_dense,
+                                                    bucket_cfg.cap_sparse)
+    # above the monolithic aniso ceiling (measured 6144), capacities route
+    # to the CHUNKED aniso kernel — only past the chunked ceiling is the
+    # grid truly too coarse
+    if worst > MAX_CHUNKED_CAPACITY:
         raise ValueError(
-            f"per-tile capacity {worst} exceeds the anisotropic backward "
-            f"kernel's VMEM ceiling ({MAX_BWD_CAPACITY_ANISO}); use a finer "
-            "tile grid so fewer Gaussians land in each tile")
+            f"per-tile capacity {worst} exceeds even the chunked "
+            f"anisotropic kernel's ceiling ({MAX_CHUNKED_CAPACITY}); use a "
+            "finer tile grid so fewer Gaussians land in each tile")
+    capacity, _render = tile_renderer_aniso_for(capacity, erf_name=erf_name,
+                                                exp_name=exp_name)
     tx_, ty_ = as_grid(tiles)
     t2 = tx_ * ty_
     n_dev = 1 if mesh is None else mesh.devices.size
@@ -724,8 +719,10 @@ def make_aniso_frame_train_step(
     if bucket_cfg is not None:
         from sgrt_tpu.ops.scheduler import BucketConfig, bucketed_tile_indices
 
-        cap_d, pb_d, qb_d = _round_cap(bucket_cfg.cap_dense)
-        cap_s, pb_s, qb_s = _round_cap(bucket_cfg.cap_sparse)
+        cap_d, render_dense = tile_renderer_aniso_for(
+            bucket_cfg.cap_dense, erf_name=erf_name, exp_name=exp_name)
+        cap_s, render_sparse = tile_renderer_aniso_for(
+            bucket_cfg.cap_sparse, erf_name=erf_name, exp_name=exp_name)
         cfg = BucketConfig(bucket_cfg.n_dense, cap_d, cap_s)
         if cfg.n_dense % n_dev or (t2 - cfg.n_dense) % n_dev:
             raise ValueError(
@@ -736,12 +733,10 @@ def make_aniso_frame_train_step(
                      tgt_s, o):
             def f(s):
                 ms = masked_scene(s)
-                cd = render_tiles_pallas_aniso(
-                    gather_tiles_aniso(ms, idx_d), o, d_d, cnt_d, pb=pb_d,
-                    qb=qb_d, erf_name=erf_name, exp_name=exp_name)
-                cs = render_tiles_pallas_aniso(
-                    gather_tiles_aniso(ms, idx_s), o, d_s, cnt_s, pb=pb_s,
-                    qb=qb_s, erf_name=erf_name, exp_name=exp_name)
+                cd = render_dense(gather_tiles_aniso(ms, idx_d), o, d_d,
+                                  cnt_d)
+                cs = render_sparse(gather_tiles_aniso(ms, idx_s), o, d_s,
+                                   cnt_s)
                 return ((jnp.sum((cd - tgt_d) ** 2)
                          + jnp.sum((cs - tgt_s) ** 2))
                         / (cd.size + cs.size))
@@ -784,9 +779,8 @@ def make_aniso_frame_train_step(
 
     def local_vg(scene, idx, counts, o, d, target_t):
         def f(s):
-            colors = render_tiles_pallas_aniso(
-                gather_tiles_aniso(masked_scene(s), idx), o, d, counts,
-                pb=pb, qb=qb, erf_name=erf_name, exp_name=exp_name)
+            colors = _render(gather_tiles_aniso(masked_scene(s), idx), o, d,
+                             counts)
             return jnp.mean((colors - target_t) ** 2)
 
         return jax.value_and_grad(f)(scene)
