@@ -76,6 +76,10 @@ def main():
                          "counts fit the backward VMEM ceiling "
                          "(pallas_kernel.MAX_BWD_CAPACITY)")
     ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--aniso", action="store_true",
+                    help="anisotropic scene (per-axis scales 2:1:0.5 of "
+                         "the isotropic sigma) through the chunked aniso "
+                         "kernel")
     args = ap.parse_args()
 
     if len(args.n) > 1:
@@ -88,7 +92,8 @@ def main():
             subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--n", str(n),
                  "--res", str(args.res), "--tiles", args.tiles,
-                 "--steps", str(args.steps)],
+                 "--steps", str(args.steps)]
+                + (["--aniso"] if args.aniso else []),
                 check=False)
         return
 
@@ -110,6 +115,15 @@ def main():
 
     for n in args.n:
         scene = sphere_scene(n)
+        if args.aniso:
+            # stretched per-axis scales; culling/probing on the max-scale
+            # proxy — exercises ops/pallas_chunked_aniso at fitting scale
+            from sgrt_tpu.ops import anisotropic as an
+
+            ascene = an.from_isotropic(scene)
+            ascene = ascene.replace(scale=ascene.scale * jnp.asarray(
+                [[2.0, 1.0, 0.5]], jnp.float32))
+            scene = an.iso_proxy(ascene)
         if args.tiles == "auto":
             tiles, cap = auto_tile_grid(scene, [30.0], -4.0, 1.0,
                                         margin=1.2, width=res, height=res)
@@ -131,11 +145,21 @@ def main():
         bc = probe_buckets(scene, [30.0], -4.0, 1.0, tiles, margin=1.2)
         row["buckets"] = tuple(bc)
 
-        def fwd():
-            img, ovf = render_orbit_frame(
-                scene, 30.0, -4.0, 1.0, width=res, height=res, tiles=tiles,
-                capacity=cap_r, backend="pallas", bucket_cfg=bc)
-            return img
+        if args.aniso:
+            row["aniso"] = True
+
+            def fwd():
+                img, ovf = an.render_tiled_aniso(
+                    ascene, cam, tiles=tiles, capacity=cap_r,
+                    backend="pallas", bucket_cfg=bc)
+                return img
+        else:
+            def fwd():
+                img, ovf = render_orbit_frame(
+                    scene, 30.0, -4.0, 1.0, width=res, height=res,
+                    tiles=tiles, capacity=cap_r, backend="pallas",
+                    bucket_cfg=bc)
+                return img
 
         row["fwd_frame_ms"] = fetch_time(fwd, n_iter=5) * 1e3
 
@@ -156,7 +180,31 @@ def main():
         kern_rate = 124e9        # measured fwd erf/s plateau (EFFICIENCY.md)
         step_s = 3.3 * 5 * (counts_np ** 2).sum() * rays_pad / kern_rate
         row["est_step_s"] = round(step_s, 1)
-        if step_s > 40.0:
+        if args.aniso and step_s > 40.0:
+            # fitting-scale aniso: host-slabbed programs (aniso=True slab
+            # step), exactly as the isotropic route below
+            t2 = tx_ * ty_
+            slab = 8
+            for cand in sorted({d for d in range(8, t2 + 1) if t2 % d == 0}):
+                worst = max(
+                    3.3 * 5 * (counts_np[i:i + cand] ** 2).sum() * rays_pad
+                    / kern_rate
+                    for i in range(0, t2, cand))
+                if worst <= 25.0:
+                    slab = cand
+                else:
+                    break
+            row["slab_tiles"] = slab
+            step = make_slab_frame_train_step(
+                opt, width=res, height=res, tiles=tiles, capacity=cap_r,
+                slab_tiles=slab, aniso=True)
+        elif args.aniso:
+            from sgrt_tpu.parallel.fit import make_aniso_frame_train_step
+
+            step = make_aniso_frame_train_step(
+                opt, width=res, height=res, tiles=tiles, capacity=cap_r,
+                bucket_cfg=bc)
+        elif step_s > 40.0:
             t2 = tx_ * ty_
             slab = 8
             for cand in sorted({d for d in range(8, t2 + 1) if t2 % d == 0}):
@@ -176,7 +224,7 @@ def main():
             step = make_frame_train_step(opt, width=res, height=res,
                                          tiles=tiles, capacity=cap_r,
                                          backend="pallas", bucket_cfg=bc)
-        state = init_state(scene, opt)
+        state = init_state(ascene if args.aniso else scene, opt)
         target = jnp.zeros((res, res, 3), jnp.float32)
         state, loss, ovf = step(state, cam.view_matrix, o, dirs, target)
         assert int(ovf) == 0, f"overflow at n={n}"

@@ -515,7 +515,8 @@ def make_slab_frame_train_step(
     mesh: Mesh | None = None,
     erf_name: str = "as5",
     exp_name: str = "exact",
-    trainable: tuple[str, ...] = ("mu", "sigma", "magnitude", "albedo"),
+    trainable: tuple[str, ...] | None = None,
+    aniso: bool = False,
     focal_length=1.0,
 ):
     """Host-SLABBED train step for fitting-scale dense scenes.
@@ -547,13 +548,29 @@ def make_slab_frame_train_step(
     Dispatches n_slabs + 2 device programs per step with no host syncs in
     between (device execution pipelines behind the dispatch loop).
     """
-    from sgrt_tpu.ops.pallas_chunked import tile_renderer_for
     from sgrt_tpu.ops.render import _tile_rays
     from sgrt_tpu.ops.tiling import as_grid, gather_tiles, tile_indices
 
     _check_bwd_capacity(capacity, None, "pallas")
-    capacity, _render = tile_renderer_for(capacity, erf_name=erf_name,
-                                          exp_name=exp_name)
+    if aniso:
+        # anisotropic slab step: same structure, aniso gather/proxy/kernels
+        from sgrt_tpu.ops.anisotropic import gather_tiles_aniso, iso_proxy
+        from sgrt_tpu.ops.pallas_chunked_aniso import tile_renderer_aniso_for
+
+        capacity, _render = tile_renderer_aniso_for(
+            capacity, erf_name=erf_name, exp_name=exp_name)
+        _gather = gather_tiles_aniso
+        _proxy = iso_proxy
+        fields = ("mu", "scale", "magnitude", "albedo")
+    else:
+        from sgrt_tpu.ops.pallas_chunked import tile_renderer_for
+
+        capacity, _render = tile_renderer_for(capacity, erf_name=erf_name,
+                                              exp_name=exp_name)
+        _gather = gather_tiles
+        _proxy = lambda s: s
+        fields = ("mu", "sigma", "magnitude", "albedo")
+    trainable = fields if trainable is None else trainable
     tx_, ty_ = as_grid(tiles)
     t2 = tx_ * ty_
     n_dev = 1 if mesh is None else mesh.devices.size
@@ -566,16 +583,16 @@ def make_slab_frame_train_step(
     n_slabs = t2 // slab_tiles
 
     def masked_scene(scene):
-        fields = {
+        vals = {
             f: (getattr(scene, f) if f in trainable
                 else jax.lax.stop_gradient(getattr(scene, f)))
-            for f in ("mu", "sigma", "magnitude", "albedo")
+            for f in fields
         }
-        return GaussianScene(**fields)
+        return type(scene)(**vals)
 
     @jax.jit
     def _prep(scene, view, dirs, target):
-        idx, counts = tile_indices(scene, view, tiles, capacity,
+        idx, counts = tile_indices(_proxy(scene), view, tiles, capacity,
                                    focal_length=focal_length)
         order = jnp.argsort(-counts)
         d = _tile_rays(dirs, height, width, tiles)
@@ -585,7 +602,7 @@ def make_slab_frame_train_step(
 
     def _local_vg(scene, idx_s, cnt_s, d_s, tgt_s, o):
         def f(s):
-            tiled = gather_tiles(masked_scene(s), idx_s)
+            tiled = _gather(masked_scene(s), idx_s)
             colors = _render(tiled, o, d_s, cnt_s)
             return jnp.sum((colors - tgt_s) ** 2)
 

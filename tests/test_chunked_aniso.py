@@ -135,3 +135,37 @@ def test_aniso_step_routes_to_chunked_above_wall():
     for _ in range(3):
         state, loss, ovf = step(state, cam.view_matrix, o, dirs, target)
     assert float(loss) < float(loss0)
+
+
+def test_aniso_slab_step_matches_single():
+    """The aniso=True slab step (host-bounded programs, exact gradient
+    accumulation) matches the monolithic aniso step under SGD."""
+    import optax
+
+    from sgrt_tpu.models.gaussians import grid_scene
+    from sgrt_tpu.ops import anisotropic as an
+    from sgrt_tpu.ops.frame import orbit_camera
+    from sgrt_tpu.parallel.fit import (init_state,
+                                       make_aniso_frame_train_step,
+                                       make_slab_frame_train_step)
+
+    scene = an.from_isotropic(grid_scene(4, sigma=0.3, magnitude=2.0))
+    scene = scene.replace(scale=scene.scale * jnp.asarray([[1.4, 0.8, 1.0]]))
+    cam = orbit_camera(0.0, -4.0, 1.0, 32, 32)
+    o, dirs = cam.rays()
+    target = jnp.zeros((32, 32, 3))
+    opt = optax.sgd(1e-2)
+    common = dict(width=32, height=32, tiles=4, capacity=16)
+    s_ref = make_aniso_frame_train_step(opt, **common)
+    s_slab = make_slab_frame_train_step(opt, slab_tiles=4, aniso=True,
+                                        **common)
+    st1 = init_state(scene, opt)
+    st2 = init_state(scene, opt)
+    st1, l1, o1 = s_ref(st1, cam.view_matrix, o, dirs, target)
+    st2, l2, o2 = s_slab(st2, cam.view_matrix, o, dirs, target)
+    assert int(o1) == 0 and int(o2) == 0
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for fld in ("mu", "scale", "magnitude", "albedo"):
+        np.testing.assert_allclose(np.asarray(getattr(st2.scene, fld)),
+                                   np.asarray(getattr(st1.scene, fld)),
+                                   rtol=1e-5, atol=1e-7, err_msg=fld)
